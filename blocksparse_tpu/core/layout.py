@@ -1,0 +1,237 @@
+"""Host-side block layout engine: shape bucketing, padding, index tables.
+
+TPU-first design (deliberate divergence from the Julia reference,
+/root/reference/src/blockmatrix.jl:26-34, which stores ``Vector{Matrix}`` with
+ragged per-block index vectors): XLA needs static shapes, so dense blocks are
+packed into a small number of *shape buckets*.  Every block in a bucket is
+zero-padded up to the bucket's tile shape ``(mp, kp)`` and the bucket becomes
+
+    values  : [nb, mp, kp]   dense, zero-padded block data
+    row_idx : [nb, mp] int32 output (row) gather/scatter indices, sentinel = M
+    col_idx : [nb, kp] int32 input (column) gather indices,       sentinel = N
+
+The sentinel convention lets the compute path use an extended ``x_ext =
+concat(x, [0])`` so padded lanes read zero and padded rows scatter into a
+dropped slot ``y_ext[M]`` -- no masks anywhere in the hot path.
+
+``nnz`` keeps the reference's *logical* semantics (``prod(size)`` of the
+unpadded block, abstractblockmatrix.jl:65-71); padded FLOPs are tracked
+separately for roofline accounting.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+from typing import Sequence
+
+import numpy as np
+
+__all__ = [
+    "BlockLayout",
+    "Bucket",
+    "build_layout",
+    "round_up",
+    "is_contiguous",
+]
+
+
+def round_up(x: int, m: int) -> int:
+    return -(-int(x) // int(m)) * int(m)
+
+
+def is_contiguous(idx: np.ndarray) -> bool:
+    """True iff ``idx`` is a contiguous ascending integer range."""
+    idx = np.asarray(idx)
+    if idx.size == 0:
+        return True
+    return bool(np.all(np.diff(idx) == 1))
+
+
+@dataclass(frozen=True)
+class Bucket:
+    """One shape bucket: all blocks padded to the same (mp, kp) tile.
+
+    Arrays here are host numpy; format classes convert to jnp leaves.
+    ``block_ids`` maps bucket-local position -> original block index.
+    """
+
+    mp: int
+    kp: int
+    values: np.ndarray  # [nb, mp, kp]
+    row_idx: np.ndarray  # [nb, mp] int32
+    col_idx: np.ndarray  # [nb, kp] int32
+    block_ids: np.ndarray  # [nb] int32
+    # Per-block true (unpadded) shapes, parallel to block_ids.
+    true_m: np.ndarray  # [nb] int32
+    true_k: np.ndarray  # [nb] int32
+    # Contiguity fast-path metadata: start index when the corresponding index
+    # list is a contiguous range, else -1.
+    row_start: np.ndarray  # [nb] int32
+    col_start: np.ndarray  # [nb] int32
+
+    @property
+    def nblocks(self) -> int:
+        return int(self.values.shape[0])
+
+    @property
+    def all_contiguous(self) -> bool:
+        return bool(np.all(self.row_start >= 0) and np.all(self.col_start >= 0))
+
+
+@dataclass(frozen=True)
+class BlockLayout:
+    """Complete host-side layout for one block-sparse operand.
+
+    Hashable (by content digest) so it can ride in a pytree's static aux data
+    without defeating jit caching.
+    """
+
+    nrows: int
+    ncols: int
+    buckets: tuple[Bucket, ...]
+    nblocks: int
+    # Original ragged index lists (reference API parity: rowindices/colindices,
+    # blockmatrix.jl:124-160).  Tuples of int32 arrays, one per block.
+    rowindices: tuple[np.ndarray, ...]
+    colindices: tuple[np.ndarray, ...]
+    # block id -> (bucket index, slot within bucket)
+    block_loc: tuple[tuple[int, int], ...] = ()
+    _digest: str = field(default="", compare=False)
+
+    def __post_init__(self):
+        if not self._digest:
+            h = hashlib.sha256()
+            h.update(np.int64([self.nrows, self.ncols, self.nblocks]).tobytes())
+            for b in self.buckets:
+                h.update(np.int64([b.mp, b.kp]).tobytes())
+                h.update(np.ascontiguousarray(b.values).tobytes())
+                h.update(np.ascontiguousarray(b.row_idx).tobytes())
+                h.update(np.ascontiguousarray(b.col_idx).tobytes())
+            object.__setattr__(self, "_digest", h.hexdigest())
+
+    def __hash__(self) -> int:
+        return hash(self._digest)
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, BlockLayout) and self._digest == other._digest
+
+    # -- accounting ---------------------------------------------------------
+    @property
+    def nnz(self) -> int:
+        """Logical nnz: sum of unpadded block areas (reference semantics)."""
+        return int(
+            sum(int(np.sum(b.true_m.astype(np.int64) * b.true_k)) for b in self.buckets)
+        )
+
+    @property
+    def padded_nnz(self) -> int:
+        return int(sum(b.nblocks * b.mp * b.kp for b in self.buckets))
+
+    @property
+    def all_contiguous(self) -> bool:
+        return all(b.all_contiguous for b in self.buckets)
+
+
+def _pad_indices(idx: np.ndarray, padded: int, sentinel: int) -> np.ndarray:
+    out = np.full((padded,), sentinel, dtype=np.int32)
+    out[: idx.size] = idx
+    return out
+
+
+def build_layout(
+    blocks: Sequence[np.ndarray],
+    rowindices: Sequence[np.ndarray],
+    colindices: Sequence[np.ndarray],
+    shape: tuple[int, int],
+    *,
+    granularity: tuple[int, int] = (1, 1),
+    dtype=None,
+) -> BlockLayout:
+    """Bucket ``blocks`` by padded shape and build SoA index tables.
+
+    granularity (gm, gk): each block's (m, k) is rounded up to multiples of
+    (gm, gk) to form its bucket key.  (1, 1) = exact-shape bucketing (zero
+    padding waste); (8, 128) aligns buckets to TPU f32 tile boundaries.
+    """
+    nrows, ncols = map(int, shape)
+    n = len(blocks)
+    if not (len(rowindices) == len(colindices) == n):
+        raise ValueError("blocks, rowindices, colindices must have equal length")
+    gm, gk = granularity
+
+    rlists, clists = [], []
+    if dtype is None:
+        dtype = np.result_type(*[np.asarray(b).dtype for b in blocks]) if n else np.float64
+
+    groups: dict[tuple[int, int], list[int]] = {}
+    for i in range(n):
+        b = np.asarray(blocks[i])
+        ri = np.asarray(rowindices[i], dtype=np.int64).ravel()
+        ci = np.asarray(colindices[i], dtype=np.int64).ravel()
+        if b.ndim != 2:
+            raise ValueError(f"block {i} is not 2-D")
+        if b.shape != (ri.size, ci.size):
+            raise ValueError(
+                f"block {i} shape {b.shape} != (len(rowindices), len(colindices))"
+                f" = ({ri.size}, {ci.size})"
+            )
+        if ri.size and (ri.min() < 0 or ri.max() >= nrows):
+            raise ValueError(f"block {i} row indices out of range [0, {nrows})")
+        if ci.size and (ci.min() < 0 or ci.max() >= ncols):
+            raise ValueError(f"block {i} col indices out of range [0, {ncols})")
+        rlists.append(ri.astype(np.int32))
+        clists.append(ci.astype(np.int32))
+        key = (round_up(max(b.shape[0], 1), gm), round_up(max(b.shape[1], 1), gk))
+        groups.setdefault(key, []).append(i)
+
+    buckets = []
+    for (mp, kp), ids in sorted(groups.items()):
+        nb = len(ids)
+        vals = np.zeros((nb, mp, kp), dtype=dtype)
+        ridx = np.full((nb, mp), nrows, dtype=np.int32)
+        cidx = np.full((nb, kp), ncols, dtype=np.int32)
+        tm = np.zeros((nb,), dtype=np.int32)
+        tk = np.zeros((nb,), dtype=np.int32)
+        rstart = np.full((nb,), -1, dtype=np.int32)
+        cstart = np.full((nb,), -1, dtype=np.int32)
+        for j, i in enumerate(ids):
+            b = np.asarray(blocks[i])
+            m, k = b.shape
+            vals[j, :m, :k] = b
+            ridx[j] = _pad_indices(rlists[i], mp, nrows)
+            cidx[j] = _pad_indices(clists[i], kp, ncols)
+            tm[j], tk[j] = m, k
+            if is_contiguous(rlists[i]) and m > 0:
+                rstart[j] = rlists[i][0]
+            if is_contiguous(clists[i]) and k > 0:
+                cstart[j] = clists[i][0]
+        buckets.append(
+            Bucket(
+                mp=mp,
+                kp=kp,
+                values=vals,
+                row_idx=ridx,
+                col_idx=cidx,
+                block_ids=np.asarray(ids, dtype=np.int32),
+                true_m=tm,
+                true_k=tk,
+                row_start=rstart,
+                col_start=cstart,
+            )
+        )
+
+    loc = [(0, 0)] * n
+    for bi, b in enumerate(buckets):
+        for slot, i in enumerate(b.block_ids):
+            loc[int(i)] = (bi, slot)
+
+    return BlockLayout(
+        nrows=nrows,
+        ncols=ncols,
+        buckets=tuple(buckets),
+        nblocks=n,
+        rowindices=tuple(rlists),
+        colindices=tuple(clists),
+        block_loc=tuple(loc),
+    )

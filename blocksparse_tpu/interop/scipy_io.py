@@ -1,0 +1,128 @@
+"""Sparse-matrix interop: COO triplets and scipy conversion.
+
+Parity target: src/sparse.jl -- ``rowcolvals(A)`` emits COO triplets per
+format (the symmetric version emits off-diagonals, transposed off-diagonals,
+then diagonals, sparse.jl:42-91) and ``sparse(A)`` assembles them; duplicate
+(i, j) entries are *summed*, matching ``mul!`` accumulation of overlapping
+blocks.  Here the assembly target is ``scipy.sparse`` (the oracle used by the
+test suite, mirroring the reference's SparseMatrixCSC oracle pattern,
+test/test_blockmatrix.jl:33-82).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.operator import (
+    AdjointOperator,
+    ConjOperator,
+    LinearOperator,
+    ScaledOperator,
+    TransposeOperator,
+)
+from ..formats.block_sparse import BlockSparseMatrix
+from ..formats.symmetric import SymmetricBlockMatrix
+from ..formats.vbcrs import VariableBlockCompressedRowStorage
+
+__all__ = ["rowcolvals", "to_scipy", "sparse", "from_scipy_blocks"]
+
+
+def _block_triplets(rows, cols, vals):
+    """All (i, j, v) triplets of one dense block at (rows x cols)."""
+    r = np.repeat(np.asarray(rows), len(cols))
+    c = np.tile(np.asarray(cols), len(rows))
+    return r, c, np.asarray(vals).ravel()
+
+
+def rowcolvals(A: LinearOperator):
+    """COO triplets (rows, cols, vals) of a block operator.
+
+    Parity: ``rowcolvals`` (sparse.jl:17-123).  Wrapper operators
+    (transpose/adjoint/conj/scaled) are resolved by transforming the base
+    triplets, mirroring the reference's wrapper methods.
+    """
+    if isinstance(A, TransposeOperator):
+        r, c, v = rowcolvals(A.op)
+        return c, r, v
+    if isinstance(A, AdjointOperator):
+        r, c, v = rowcolvals(A.op)
+        return c, r, np.conj(v)
+    if isinstance(A, ConjOperator):
+        r, c, v = rowcolvals(A.op)
+        return r, c, np.conj(v)
+    if isinstance(A, ScaledOperator):
+        r, c, v = rowcolvals(A.op)
+        return r, c, np.asarray(A.alpha) * v
+
+    rs, cs, vs = [], [], []
+
+    def push(rows, cols, vals):
+        r, c, v = _block_triplets(rows, cols, vals)
+        rs.append(r)
+        cs.append(c)
+        vs.append(v)
+
+    if isinstance(A, SymmetricBlockMatrix):
+        # Order parity with sparse.jl:42-91: off-diag, transposed off-diag, diag.
+        for i in range(A.noffdiagonals):
+            o = A.offdiagonal(i)
+            push(A.blockrowindices(i), A.blockcolindices(i), o)
+        for i in range(A.noffdiagonals):
+            o = A.offdiagonal(i)
+            push(A.blockcolindices(i), A.blockrowindices(i), o.T)
+        for i in range(A.ndiagonals):
+            push(A.diagonalindices(i), A.diagonalindices(i), A.diagonal(i))
+    elif isinstance(A, (BlockSparseMatrix, VariableBlockCompressedRowStorage)):
+        for i in range(A.nblocks):
+            push(A.blockrowindices(i), A.blockcolindices(i), A.block(i))
+    else:
+        raise TypeError(f"rowcolvals: unsupported operator type {type(A).__name__}")
+
+    if not rs:
+        return (
+            np.zeros(0, dtype=np.int64),
+            np.zeros(0, dtype=np.int64),
+            np.zeros(0),
+        )
+    return np.concatenate(rs), np.concatenate(cs), np.concatenate(vs)
+
+
+def to_scipy(A: LinearOperator):
+    """Assemble as ``scipy.sparse.csc_array`` (duplicates summed).
+
+    Parity: ``SparseArrays.sparse(A)`` (sparse.jl:127-129).
+    """
+    import scipy.sparse as sp
+
+    r, c, v = rowcolvals(A)
+    m, n = A.shape
+    return sp.coo_array((v, (r, c)), shape=(m, n)).tocsc()
+
+
+# Julia-parity alias
+sparse = to_scipy
+
+
+def from_scipy_blocks(S, block_size: int, *, dtype=None, **kwargs) -> BlockSparseMatrix:
+    """Build a BlockSparseMatrix by tiling a scipy sparse matrix into uniform
+    ``block_size`` x ``block_size`` dense blocks (nonempty tiles only).
+
+    Convenience constructor with no direct reference equivalent; useful for
+    benchmarks and for importing general sparse operators.
+    """
+    import scipy.sparse as sp
+
+    S = sp.csr_array(S)
+    m, n = S.shape
+    blocks, rows, cols = [], [], []
+    bs = block_size
+    for bi in range(0, m, bs):
+        for bj in range(0, n, bs):
+            tile = S[bi : bi + bs, bj : bj + bs]
+            if tile.nnz == 0:
+                continue
+            dense = np.asarray(tile.todense())
+            blocks.append(dense if dtype is None else dense.astype(dtype))
+            rows.append(np.arange(bi, min(bi + bs, m)))
+            cols.append(np.arange(bj, min(bj + bs, n)))
+    return BlockSparseMatrix(blocks, rows, cols, (m, n), **kwargs)

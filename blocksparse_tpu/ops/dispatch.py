@@ -1,0 +1,98 @@
+"""Backend dispatch: route each bucket to the best compute engine.
+
+Per-bucket static decision (made at trace time from host-side layout
+metadata, so it is part of the jit cache key via the operator's aux data):
+
+  - ``pallas``  : fused contiguous-range kernel (ops/pallas/fused_spmm.py)
+                  when the bucket's ranges are contiguous, the dtype is real,
+                  and the x/y panels fit VMEM;
+  - ``xla``     : the general gather/einsum/scatter engine (ops/xla_spmv.py)
+                  for scattered indices, complex dtypes, or oversized panels.
+
+Backend strings carried by operators:
+  "auto"             -- pallas on TPU where eligible, else XLA
+  "xla"              -- always the XLA engine
+  "pallas"           -- force the pallas kernel for eligible buckets
+  "pallas-interpret" -- pallas in interpreter mode (CPU testing of the
+                        kernel's logic; used by the test suite)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .pallas.fused_spmm import contiguous_block_apply, fits_vmem
+from .xla_spmv import bucket_apply
+
+__all__ = ["apply_operand"]
+
+_REAL_TPU_DTYPES = ("float32", "bfloat16")
+
+
+def _bucket_eligible(host_bucket, n_in, n_out, r, interpret: bool, dtype) -> bool:
+    if not host_bucket.all_contiguous:
+        return False
+    if np.issubdtype(np.dtype(dtype), np.complexfloating):
+        return False
+    if not interpret and np.dtype(dtype).name not in _REAL_TPU_DTYPES:
+        return False
+    r_tile = min(-(-r // 128) * 128, 512) if r > 1 else r
+    bb = max(1, min(host_bucket.nblocks,
+                    (512 * 1024) // max(1, host_bucket.mp * host_bucket.kp * 4)))
+    return fits_vmem(n_in, n_out, r_tile, host_bucket.mp, host_bucket.kp, bb)
+
+
+def apply_operand(
+    dev_buckets,
+    layout,
+    backend: str,
+    out_len: int,
+    x,
+    *,
+    transpose: bool = False,
+    conj: bool = False,
+):
+    """Apply a bucketed operand with per-bucket backend routing."""
+    interpret = backend == "pallas-interpret"
+    if backend == "xla":
+        use_pallas = False
+    elif backend in ("pallas", "pallas-interpret"):
+        use_pallas = True
+    else:  # auto
+        use_pallas = jax.default_backend() == "tpu"
+
+    if not use_pallas:
+        return bucket_apply(dev_buckets, out_len, x, transpose=transpose, conj=conj)
+
+    n_in = x.shape[0]
+    r = 1 if x.ndim == 1 else x.shape[1]
+    dtype = jnp.result_type(x.dtype, *[v.dtype for v, _, _ in dev_buckets])
+
+    pallas_parts = []
+    xla_buckets = []
+    for host_b, (vals, ridx, cidx) in zip(layout.buckets, dev_buckets):
+        if _bucket_eligible(host_b, n_in, out_len, r, interpret, dtype):
+            rs = jnp.asarray(host_b.row_start, dtype=jnp.int32)
+            cs = jnp.asarray(host_b.col_start, dtype=jnp.int32)
+            pallas_parts.append((vals, rs, cs))
+        else:
+            xla_buckets.append((vals, ridx, cidx))
+
+    y = None
+    for vals, rs, cs in pallas_parts:
+        # conj is a no-op for the real dtypes this path admits
+        part = contiguous_block_apply(
+            vals, rs, cs, x, out_len, transpose=transpose, interpret=interpret
+        )
+        y = part if y is None else y + part
+    if xla_buckets:
+        part = bucket_apply(
+            xla_buckets, out_len, x, transpose=transpose, conj=conj
+        )
+        y = part if y is None else y + part
+    if y is None:
+        shape = (out_len,) if x.ndim == 1 else (out_len, r)
+        y = jnp.zeros(shape, dtype=dtype)
+    return y

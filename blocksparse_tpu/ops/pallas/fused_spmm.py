@@ -1,0 +1,210 @@
+"""Fused Pallas TPU kernel: contiguous-range block SpMV / SpMM.
+
+This is the framework's native compute engine -- the role BLAS ``gemv``/
+``gemm`` plays in the reference's hot loop (blockmatrix.jl:236-242,
+vbcrs.jl:278-284), redesigned for the TPU memory hierarchy:
+
+  - block values stream HBM -> VMEM through the automatic Pallas pipeline
+    (double-buffered DMA), batched ``block_batch`` blocks per grid step so
+    per-step overhead amortizes at SpMV bandwidth;
+  - x lives in VMEM; each block reads ``x[col_start : col_start+kp]`` with a
+    dynamic slice (contiguous ranges = no gather tables -- the VBCRS
+    fast-path property, docs/src/vbcrs.md:311, made literal);
+  - each block issues one MXU contraction ``[mp,kp] @ [kp,TR]``;
+  - results accumulate into a VMEM-resident y block (revisited output:
+    constant index_map keeps it on-chip for the whole grid), scattered with
+    a dynamic-slice read-modify-write at ``row_start`` -- race-free because
+    the block grid dimension is sequential ("arbitrary" semantics) on TPU;
+  - multi-RHS is tiled over ``r_tile`` columns in the outer grid dimension
+    (the reference has no SpMM kernel at all -- LinearMaps falls back to
+    column-wise products; this is where the MXU pays off).
+
+Transposed products swap the roles of row_start/col_start and contract over
+the block's row axis instead -- a flag flip, no data movement (and it
+parallelizes the transpose path the reference left serial, vbcrs.jl:303-329).
+
+Constraints of this v1 kernel (callers fall back to the XLA path otherwise,
+see ops/xla_spmv.py): contiguous index ranges, real dtypes, and x/y panels
+that fit VMEM (~<= 6 MB each).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["contiguous_block_apply", "fits_vmem"]
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _round_up(a, b):
+    return _cdiv(a, b) * b
+
+
+def _kernel(
+    # scalar prefetch
+    out_start_ref,  # [nb] int32: y scatter starts
+    in_start_ref,  # [nb] int32: x gather starts
+    # inputs
+    x_ref,  # [Npad, TR] VMEM
+    vals_ref,  # [BB, mp, kp] VMEM (one batch of blocks)
+    # outputs
+    out_ref,  # [Mpad, TR] VMEM, revisited across the whole grid
+    *,
+    nb: int,
+    block_batch: int,
+    mp: int,
+    kp: int,
+    transpose: bool,
+    acc_dtype,
+):
+    step = pl.program_id(1)
+
+    @pl.when(step == 0)
+    def _init():
+        out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    out_extent = mp if not transpose else kp
+    in_extent = kp if not transpose else mp
+
+    def body(i, _):
+        b = step * block_batch + i
+
+        @pl.when(b < nb)
+        def _():
+            ins = in_start_ref[b]
+            outs = out_start_ref[b]
+            xg = x_ref[pl.ds(ins, in_extent), :]  # [in_extent, TR]
+            blk = vals_ref[i]  # [mp, kp]
+            if transpose:
+                # blk^T @ xg : contract over the row axis (dim 0 of blk)
+                y = jax.lax.dot_general(
+                    blk, xg, (((0,), (0,)), ((), ())),
+                    preferred_element_type=acc_dtype,
+                )  # [kp, TR]
+            else:
+                y = jax.lax.dot_general(
+                    blk, xg, (((1,), (0,)), ((), ())),
+                    preferred_element_type=acc_dtype,
+                )  # [mp, TR]
+            cur = out_ref[pl.ds(outs, out_extent), :]
+            out_ref[pl.ds(outs, out_extent), :] = cur + y
+
+        return 0
+
+    jax.lax.fori_loop(0, block_batch, body, 0, unroll=True)
+
+
+def fits_vmem(n_in: int, n_out: int, r_tile: int, mp: int, kp: int,
+              block_batch: int, itemsize: int = 4,
+              budget: int = 12 * 1024 * 1024) -> bool:
+    """Conservative VMEM feasibility check for the v1 kernel."""
+    lanes = max(r_tile, 128)  # arrays are lane-padded to 128
+    x_bytes = (n_in + kp) * lanes * itemsize * 2  # double buffered
+    y_bytes = (n_out + mp) * lanes * itemsize
+    v_bytes = 2 * block_batch * mp * kp * itemsize
+    return x_bytes + y_bytes + v_bytes <= budget
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_len", "transpose", "interpret", "r_tile", "block_batch"),
+)
+def contiguous_block_apply(
+    vals,  # [nb, mp, kp]
+    row_start,  # [nb] int32 (global output row starts in forward mode)
+    col_start,  # [nb] int32
+    x,  # [n_in] or [n_in, r]
+    out_len: int,
+    *,
+    transpose: bool = False,
+    interpret: bool = False,
+    r_tile: int | None = None,
+    block_batch: int | None = None,
+):
+    """Fused contiguous-block product: returns [out_len] or [out_len, r]."""
+    nb, mp, kp = vals.shape
+    vec = x.ndim == 1
+    xm = x[:, None] if vec else x
+    n_in, r = xm.shape
+
+    acc_dtype = jnp.float32 if vals.dtype != jnp.float64 else jnp.float64
+
+    if r_tile is None:
+        r_tile = min(_round_up(r, 128), 512) if r > 1 else r
+    r_pad = _round_up(r, r_tile)
+    if block_batch is None:
+        # target ~512 KB of block values per grid step
+        block_batch = max(1, min(nb, (512 * 1024) // max(1, mp * kp * 4)))
+
+    out_start = row_start if not transpose else col_start
+    in_start = col_start if not transpose else row_start
+    in_extent = kp if not transpose else mp
+    out_extent = mp if not transpose else kp
+
+    # pad x rows so ins+extent never leaves the buffer; pad r to r_tile
+    xm = jnp.pad(xm, ((0, in_extent), (0, r_pad - r)))
+    if vals.dtype in (jnp.bfloat16, jnp.float16):
+        xm = xm.astype(vals.dtype)  # keep both MXU operands low-precision
+    else:
+        xm = xm.astype(acc_dtype)
+    n_steps = _cdiv(nb, block_batch)
+    nb_pad = n_steps * block_batch
+    if nb_pad != nb:
+        vals = jnp.pad(vals, ((0, nb_pad - nb), (0, 0), (0, 0)))
+
+    out_rows = out_len + out_extent
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(r_pad // r_tile, n_steps),
+        in_specs=[
+            pl.BlockSpec(
+                (n_in + in_extent, r_tile), lambda j, s, *_: (0, j),
+            ),
+            pl.BlockSpec(
+                (block_batch, mp, kp), lambda j, s, *_: (s, 0, 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (out_rows, r_tile), lambda j, s, *_: (0, j),
+        ),
+    )
+
+    kernel = functools.partial(
+        _kernel,
+        nb=nb,
+        block_batch=block_batch,
+        mp=mp,
+        kp=kp,
+        transpose=transpose,
+        acc_dtype=acc_dtype,
+    )
+
+    flops = 2 * nb * mp * kp * r_pad
+    bytes_accessed = (
+        vals.size * vals.dtype.itemsize + xm.size * xm.dtype.itemsize
+        + out_rows * r_pad * 4
+    )
+    y = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((out_rows, r_pad), acc_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        interpret=interpret,
+    )(out_start.astype(jnp.int32), in_start.astype(jnp.int32), xm, vals)
+
+    y = y[:out_len, :r]
+    return y[:, 0] if vec else y

@@ -1,0 +1,83 @@
+"""Reference-semantics XLA compute path: gather -> batched einsum -> scatter-add.
+
+This is the general path that works for *arbitrary, non-contiguous* index
+lists (the reference's format-1 semantics, blockmatrix.jl:225-247, where the
+hot loop is a BLAS gemv on ``view``s).  On TPU the views become explicit
+data movement:
+
+  1. gather   ``xg = x_ext[col_idx]``            (small: x rows only)
+  2. compute  ``yp = einsum('bmk,bkr->bmr')``    (the HBM-bound hot op; XLA
+                                                  maps it onto the MXU)
+  3. scatter  ``acc.at[row_idx].add(yp)``        (deterministic XLA scatter-add)
+
+Sentinel convention (see core/layout.py): padded gather lanes read the zero
+row ``x_ext[N]``; padded scatter rows land in the dropped slot ``acc[M]``.
+Scatter-add replaces the reference's graph-coloring race avoidance -- XLA's
+scatter-add is deterministic, so no colors are needed for correctness on this
+path (coloring remains a first-class component for the Pallas kernels and the
+parallel execution plans; see blocksparse_tpu/coloring/).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["bucket_apply", "extend_input", "BucketArrays"]
+
+# A "device bucket" is a triple (values[nb,mp,kp], row_idx[nb,mp], col_idx[nb,kp]).
+BucketArrays = tuple
+
+
+def extend_input(x: jnp.ndarray) -> jnp.ndarray:
+    """Append one zero row so sentinel gathers read 0."""
+    pad = jnp.zeros((1,) + x.shape[1:], dtype=x.dtype)
+    return jnp.concatenate([x, pad], axis=0)
+
+
+def bucket_apply(
+    buckets,
+    out_len: int,
+    x: jnp.ndarray,
+    *,
+    transpose: bool = False,
+    conj: bool = False,
+    acc_dtype=None,
+):
+    """Apply a bucketed block-sparse operand to ``x`` ([n] or [n, r]).
+
+    ``buckets``: iterable of (values, row_idx, col_idx) device triples.
+    ``out_len``: number of output rows (M for forward, N for transpose).
+    In transpose mode the roles of the two index tables swap and each block's
+    values are used transposed -- a pure flag flip, no data movement
+    (parity with the reference's lazy Adjoint/Transpose wrapping,
+    blockmatrix.jl:154-206).
+    """
+    vec = x.ndim == 1
+    xm = x[:, None] if vec else x
+    r = xm.shape[1]
+    x_ext = extend_input(xm)
+
+    if acc_dtype is None:
+        vdts = [v.dtype for v, _, _ in buckets]
+        acc_dtype = jnp.result_type(xm.dtype, *vdts) if vdts else xm.dtype
+    acc = jnp.zeros((out_len + 1, r), dtype=acc_dtype)
+
+    for vals, ridx, cidx in buckets:
+        v = jnp.conj(vals) if conj else vals
+        if transpose:
+            gather_idx, scatter_idx = ridx, cidx
+            spec = "bmk,bmr->bkr"
+        else:
+            gather_idx, scatter_idx = cidx, ridx
+            spec = "bmk,bkr->bmr"
+        xg = x_ext[gather_idx]  # [nb, g, r]
+        yp = jnp.einsum(spec, v, xg, preferred_element_type=acc_dtype)
+        acc = acc.at[scatter_idx.reshape(-1)].add(
+            yp.reshape(-1, r), indices_are_sorted=False, unique_indices=False
+        )
+
+    out = acc[:out_len]
+    return out[:, 0] if vec else out

@@ -1,0 +1,86 @@
+"""Layout engine tests: bucketing, padding, sentinels, accounting."""
+
+import numpy as np
+import pytest
+
+from blocksparse_tpu.core.layout import build_layout, is_contiguous, round_up
+
+
+def test_round_up():
+    assert round_up(1, 8) == 8
+    assert round_up(8, 8) == 8
+    assert round_up(9, 8) == 16
+    assert round_up(64, 128) == 128
+
+
+def test_is_contiguous():
+    assert is_contiguous(np.array([3, 4, 5]))
+    assert not is_contiguous(np.array([3, 5, 6]))
+    assert is_contiguous(np.array([7]))
+    assert is_contiguous(np.array([], dtype=int))
+
+
+def test_exact_bucketing():
+    blocks = [np.ones((2, 3)), np.ones((2, 3)), np.ones((4, 4))]
+    rows = [np.array([0, 1]), np.array([2, 3]), np.array([4, 5, 6, 7])]
+    cols = [np.array([0, 1, 2]), np.array([3, 4, 5]), np.array([0, 2, 4, 6])]
+    lay = build_layout(blocks, rows, cols, (8, 8))
+    assert len(lay.buckets) == 2
+    assert lay.nnz == 2 * 6 + 16
+    assert lay.padded_nnz == lay.nnz  # granularity (1,1): no padding
+    assert lay.nblocks == 3
+    # block_loc roundtrip
+    for i in range(3):
+        bi, slot = lay.block_loc[i]
+        assert int(lay.buckets[bi].block_ids[slot]) == i
+
+
+def test_granularity_padding_and_sentinels():
+    blocks = [np.arange(6.0).reshape(2, 3)]
+    rows = [np.array([1, 3])]
+    cols = [np.array([0, 2, 4])]
+    lay = build_layout(blocks, rows, cols, (5, 6), granularity=(8, 8))
+    b = lay.buckets[0]
+    assert (b.mp, b.kp) == (8, 8)
+    assert lay.nnz == 6 and lay.padded_nnz == 64
+    # sentinels: padded rows -> nrows, padded cols -> ncols
+    assert list(b.row_idx[0]) == [1, 3] + [5] * 6
+    assert list(b.col_idx[0]) == [0, 2, 4] + [6] * 5
+    # values zero-padded
+    assert b.values[0, :2, :3].tolist() == blocks[0].tolist()
+    assert np.all(b.values[0, 2:, :] == 0) and np.all(b.values[0, :, 3:] == 0)
+
+
+def test_contiguity_detection():
+    blocks = [np.ones((2, 2)), np.ones((2, 2))]
+    rows = [np.array([0, 1]), np.array([0, 2])]
+    cols = [np.array([2, 3]), np.array([1, 2])]
+    lay = build_layout(blocks, rows, cols, (4, 4))
+    b = lay.buckets[0]
+    by_id = {int(b.block_ids[j]): j for j in range(2)}
+    assert b.row_start[by_id[0]] == 0 and b.col_start[by_id[0]] == 2
+    assert b.row_start[by_id[1]] == -1  # scattered rows
+    assert b.col_start[by_id[1]] == 1
+
+
+def test_validation_errors():
+    with pytest.raises(ValueError):
+        build_layout([np.ones((2, 2))], [np.array([0, 5])], [np.array([0, 1])], (4, 4))
+    with pytest.raises(ValueError):
+        build_layout([np.ones((2, 2))], [np.array([0, 1])], [np.array([0])], (4, 4))
+    with pytest.raises(ValueError):
+        build_layout([np.ones(4)], [np.array([0, 1])], [np.array([0, 1])], (4, 4))
+
+
+def test_layout_hash_stability():
+    def make():
+        return build_layout(
+            [np.ones((2, 2))], [np.array([0, 1])], [np.array([2, 3])], (4, 4)
+        )
+
+    a, b = make(), make()
+    assert a == b and hash(a) == hash(b)
+    c = build_layout(
+        [np.full((2, 2), 2.0)], [np.array([0, 1])], [np.array([2, 3])], (4, 4)
+    )
+    assert a != c

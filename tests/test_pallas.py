@@ -1,0 +1,95 @@
+"""Pallas kernel tests (interpreter mode on CPU).
+
+The parallel-vs-serial duality of the reference (SURVEY.md §4) becomes
+interpret-mode Pallas vs the XLA engine here: both paths must agree with the
+scipy oracle.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import blocksparse_tpu as bst
+from blocksparse_tpu.ops.pallas.fused_spmm import contiguous_block_apply
+from blocksparse_tpu.utils.testmatrices import random_vbcrs
+
+TOL32 = 1e-4
+
+
+def relerr(a, b):
+    a, b = np.asarray(a, dtype=np.float64), np.asarray(b, dtype=np.float64)
+    scale = max(1.0, float(np.max(np.abs(b))) if b.size else 1.0)
+    return float(np.max(np.abs(a - b))) / scale
+
+
+def test_kernel_uniform_blocks(rng):
+    nb, mp, kp, N = 20, 16, 32, 300
+    vals = rng.standard_normal((nb, mp, kp)).astype(np.float32)
+    rs = rng.integers(0, N - mp, nb).astype(np.int32)
+    cs = rng.integers(0, N - kp, nb).astype(np.int32)
+    x = rng.standard_normal(N).astype(np.float32)
+
+    ref = np.zeros(N, np.float64)
+    for b in range(nb):
+        ref[rs[b] : rs[b] + mp] += vals[b].astype(np.float64) @ x[cs[b] : cs[b] + kp]
+    y = contiguous_block_apply(
+        jnp.asarray(vals), jnp.asarray(rs), jnp.asarray(cs), jnp.asarray(x), N,
+        interpret=True,
+    )
+    assert relerr(y, ref) < TOL32
+
+    reft = np.zeros(N, np.float64)
+    for b in range(nb):
+        reft[cs[b] : cs[b] + kp] += vals[b].T.astype(np.float64) @ x[rs[b] : rs[b] + mp]
+    yt = contiguous_block_apply(
+        jnp.asarray(vals), jnp.asarray(rs), jnp.asarray(cs), jnp.asarray(x), N,
+        transpose=True, interpret=True,
+    )
+    assert relerr(yt, reft) < TOL32
+
+
+def test_kernel_multi_rhs(rng):
+    nb, mp, kp, N, r = 10, 8, 8, 120, 9
+    vals = rng.standard_normal((nb, mp, kp)).astype(np.float32)
+    rs = rng.integers(0, N - mp, nb).astype(np.int32)
+    cs = rng.integers(0, N - kp, nb).astype(np.int32)
+    X = rng.standard_normal((N, r)).astype(np.float32)
+    ref = np.zeros((N, r), np.float64)
+    for b in range(nb):
+        ref[rs[b] : rs[b] + mp] += vals[b].astype(np.float64) @ X[cs[b] : cs[b] + kp]
+    Y = contiguous_block_apply(
+        jnp.asarray(vals), jnp.asarray(rs), jnp.asarray(cs), jnp.asarray(X), N,
+        interpret=True,
+    )
+    assert relerr(Y, ref) < TOL32
+
+
+def test_vbcrs_pallas_backend_matches_xla(rng):
+    """Interpret-mode Pallas backend vs XLA engine on the same VBCRS matrix."""
+    blocks, rstarts, cstarts, shape = random_vbcrs(
+        51, shape=(400, 400), nrowgroups=8, ncolgroups=8, dtype=np.float64
+    )
+    blocks32 = [b.astype(np.float32) for b in blocks]
+    Vx = bst.VariableBlockCompressedRowStorage(
+        blocks32, rstarts, cstarts, shape, backend="xla"
+    )
+    Vp = bst.VariableBlockCompressedRowStorage(
+        blocks32, rstarts, cstarts, shape, backend="pallas-interpret"
+    )
+    x = rng.standard_normal(shape[1]).astype(np.float32)
+    assert relerr(Vp @ x, Vx @ x) < TOL32
+    assert relerr(Vp.T @ x, Vx.T @ x) < TOL32
+    X = rng.standard_normal((shape[1], 4)).astype(np.float32)
+    assert relerr(Vp @ X, Vx @ X) < TOL32
+
+
+def test_scattered_bucket_falls_back(rng):
+    """Non-contiguous index lists must route to the XLA engine even when the
+    pallas backend is requested."""
+    blocks = [rng.standard_normal((3, 3)).astype(np.float32)]
+    rows = [np.array([0, 2, 4])]
+    cols = [np.array([1, 3, 5])]
+    A = bst.BlockSparseMatrix(blocks, rows, cols, (8, 8), backend="pallas-interpret")
+    S = bst.to_scipy(A)
+    x = rng.standard_normal(8).astype(np.float32)
+    assert relerr(A @ x, S @ x) < TOL32
