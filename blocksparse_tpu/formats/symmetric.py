@@ -35,7 +35,7 @@ import numpy as np
 from ..core import schedule as sched
 from ..core.layout import BlockLayout, build_layout
 from ..core.operator import LinearOperator
-from ..ops.xla_spmv import bucket_apply
+from ..ops.dispatch import apply_symmetric
 
 __all__ = ["SymmetricBlockMatrix"]
 
@@ -193,13 +193,13 @@ class SymmetricBlockMatrix(LinearOperator):
 
     # -- compute ------------------------------------------------------------
     def _apply(self, x, transpose: bool, conj: bool):
-        n = self.shape[0]
-        # Off-diagonal pair: honors only conj (see module docstring).
-        y = bucket_apply(self._obuckets, n, x, transpose=False, conj=conj)
-        y = y + bucket_apply(self._obuckets, n, x, transpose=True, conj=conj)
-        # Diagonal pass: honors both flags.
-        y = y + bucket_apply(self._dbuckets, n, x, transpose=transpose, conj=conj)
-        return y
+        # Off-diagonal pair honors only conj; diagonal honors both flags
+        # (see module docstring).  Dispatch routes eligible off-diagonal
+        # buckets through the fused one-read/two-MXU-ops Pallas pass.
+        return apply_symmetric(
+            self._dbuckets, self._dlayout, self._obuckets, self._olayout,
+            self._backend, self.shape[0], x, transpose=transpose, conj=conj,
+        )
 
     def __repr__(self):
         m, n = self.shape

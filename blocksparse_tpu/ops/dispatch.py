@@ -96,3 +96,59 @@ def apply_operand(
         shape = (out_len,) if x.ndim == 1 else (out_len, r)
         y = jnp.zeros(shape, dtype=dtype)
     return y
+
+
+def apply_symmetric(
+    diag_buckets,
+    diag_layout,
+    off_buckets,
+    off_layout,
+    backend: str,
+    n: int,
+    x,
+    *,
+    transpose: bool = False,
+    conj: bool = False,
+):
+    """Symmetric operand: S = D + O + O^T.
+
+    The off-diagonal pair is transpose-invariant and, where eligible, runs
+    through the *fused* Pallas pass (one HBM read per stored block feeding
+    both MXU contributions -- the reference reads each block twice,
+    symmetricblockmatrix.jl:394-418).  The diagonal pass honors both flags.
+    """
+    interpret = backend == "pallas-interpret"
+    if backend == "xla":
+        use_pallas = False
+    elif backend in ("pallas", "pallas-interpret"):
+        use_pallas = True
+    else:
+        use_pallas = jax.default_backend() == "tpu"
+
+    r = 1 if x.ndim == 1 else x.shape[1]
+    dtype = jnp.result_type(
+        x.dtype, *[v.dtype for v, _, _ in diag_buckets + off_buckets]
+    )
+
+    y = None
+    fused_ok = use_pallas and not np.issubdtype(np.dtype(dtype), np.complexfloating)
+    xla_off = []
+    for host_b, (vals, ridx, cidx) in zip(off_layout.buckets, off_buckets):
+        if fused_ok and _bucket_eligible(host_b, x.shape[0], n, r, interpret, dtype):
+            rs = jnp.asarray(host_b.row_start, dtype=jnp.int32)
+            cs = jnp.asarray(host_b.col_start, dtype=jnp.int32)
+            part = contiguous_block_apply(
+                vals, rs, cs, x, n, symmetric=True, interpret=interpret
+            )
+            y = part if y is None else y + part
+        else:
+            xla_off.append((vals, ridx, cidx))
+    if xla_off:
+        part = bucket_apply(xla_off, n, x, transpose=False, conj=conj)
+        part = part + bucket_apply(xla_off, n, x, transpose=True, conj=conj)
+        y = part if y is None else y + part
+
+    diag = apply_operand(
+        diag_buckets, diag_layout, backend, n, x, transpose=transpose, conj=conj
+    )
+    return diag if y is None else y + diag

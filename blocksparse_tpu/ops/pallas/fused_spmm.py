@@ -63,6 +63,7 @@ def _kernel(
     mp: int,
     kp: int,
     transpose: bool,
+    symmetric: bool,
     acc_dtype,
 ):
     step = pl.program_id(1)
@@ -97,6 +98,20 @@ def _kernel(
             cur = out_ref[pl.ds(outs, out_extent), :]
             out_ref[pl.ds(outs, out_extent), :] = cur + y
 
+            if symmetric:
+                # Fused mirrored contribution: same block read feeds the
+                # transposed product (the reference reads each off-diagonal
+                # block twice, symmetricblockmatrix.jl:394-418; here it is
+                # read once).  Grid steps are sequential, so the second
+                # scatter is race-free by construction.
+                xr = x_ref[pl.ds(outs, mp), :]  # rows gather
+                yt = jax.lax.dot_general(
+                    blk, xr, (((0,), (0,)), ((), ())),
+                    preferred_element_type=acc_dtype,
+                )  # [kp, TR]
+                curt = out_ref[pl.ds(ins, kp), :]
+                out_ref[pl.ds(ins, kp), :] = curt + yt
+
         return 0
 
     jax.lax.fori_loop(0, block_batch, body, 0, unroll=True)
@@ -115,7 +130,9 @@ def fits_vmem(n_in: int, n_out: int, r_tile: int, mp: int, kp: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("out_len", "transpose", "interpret", "r_tile", "block_batch"),
+    static_argnames=(
+        "out_len", "transpose", "symmetric", "interpret", "r_tile", "block_batch",
+    ),
 )
 def contiguous_block_apply(
     vals,  # [nb, mp, kp]
@@ -125,11 +142,20 @@ def contiguous_block_apply(
     out_len: int,
     *,
     transpose: bool = False,
+    symmetric: bool = False,
     interpret: bool = False,
     r_tile: int | None = None,
     block_batch: int | None = None,
 ):
-    """Fused contiguous-block product: returns [out_len] or [out_len, r]."""
+    """Fused contiguous-block product: returns [out_len] or [out_len, r].
+
+    ``symmetric=True`` adds each block's mirrored (transposed) contribution
+    in the same pass: y[rs:rs+mp] += B @ x[cs:cs+kp] AND
+    y[cs:cs+kp] += B^T @ x[rs:rs+mp] -- one HBM read per stored block
+    (requires a square operand; ``transpose`` must be False).
+    """
+    if symmetric and transpose:
+        raise ValueError("symmetric fused pass is transpose-invariant; use transpose=False")
     nb, mp, kp = vals.shape
     vec = x.ndim == 1
     xm = x[:, None] if vec else x
@@ -148,9 +174,12 @@ def contiguous_block_apply(
     in_start = col_start if not transpose else row_start
     in_extent = kp if not transpose else mp
     out_extent = mp if not transpose else kp
+    # buffer safety padding; in symmetric mode both extents touch both buffers
+    in_pad = max(mp, kp) if symmetric else in_extent
+    out_pad = max(mp, kp) if symmetric else out_extent
 
     # pad x rows so ins+extent never leaves the buffer; pad r to r_tile
-    xm = jnp.pad(xm, ((0, in_extent), (0, r_pad - r)))
+    xm = jnp.pad(xm, ((0, in_pad), (0, r_pad - r)))
     if vals.dtype in (jnp.bfloat16, jnp.float16):
         xm = xm.astype(vals.dtype)  # keep both MXU operands low-precision
     else:
@@ -160,14 +189,14 @@ def contiguous_block_apply(
     if nb_pad != nb:
         vals = jnp.pad(vals, ((0, nb_pad - nb), (0, 0), (0, 0)))
 
-    out_rows = out_len + out_extent
+    out_rows = out_len + out_pad
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(r_pad // r_tile, n_steps),
         in_specs=[
             pl.BlockSpec(
-                (n_in + in_extent, r_tile), lambda j, s, *_: (0, j),
+                (n_in + in_pad, r_tile), lambda j, s, *_: (0, j),
             ),
             pl.BlockSpec(
                 (block_batch, mp, kp), lambda j, s, *_: (s, 0, 0),
@@ -185,6 +214,7 @@ def contiguous_block_apply(
         mp=mp,
         kp=kp,
         transpose=transpose,
+        symmetric=symmetric,
         acc_dtype=acc_dtype,
     )
 

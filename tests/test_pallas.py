@@ -83,6 +83,26 @@ def test_vbcrs_pallas_backend_matches_xla(rng):
     assert relerr(Vp @ X, Vx @ X) < TOL32
 
 
+def test_symmetric_fused_kernel(rng):
+    """Fused one-read symmetric pass vs the XLA 3-pass engine."""
+    from blocksparse_tpu.utils.testmatrices import random_symmetric
+
+    d, di, o, ri, ci, shape = random_symmetric(
+        61, n=256, ngroups=8, noffdiag=12, dtype=np.float64, contiguous=True
+    )
+    d32 = [b.astype(np.float32) for b in d]
+    o32 = [b.astype(np.float32) for b in o]
+    Sx = bst.SymmetricBlockMatrix(d32, di, o32, ri, ci, shape, backend="xla")
+    Sp = bst.SymmetricBlockMatrix(
+        d32, di, o32, ri, ci, shape, backend="pallas-interpret"
+    )
+    x = rng.standard_normal(shape[0]).astype(np.float32)
+    assert relerr(Sp @ x, Sx @ x) < TOL32
+    assert relerr(Sp.T @ x, Sx.T @ x) < TOL32
+    X = rng.standard_normal((shape[0], 3)).astype(np.float32)
+    assert relerr(Sp @ X, Sx @ X) < TOL32
+
+
 def test_scattered_bucket_falls_back(rng):
     """Non-contiguous index lists must route to the XLA engine even when the
     pallas backend is requested."""
