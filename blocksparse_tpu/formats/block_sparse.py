@@ -54,17 +54,19 @@ class BlockSparseMatrix(LinearOperator):
         schedule: str = sched.SERIAL,
         granularity: tuple[int, int] = (1, 1),
         backend: str = "auto",
+        precision: str | None = "highest",
         dtype=None,
         _internal=None,
     ):
         if _internal is not None:
-            (self._layout, self._schedule, self._backend, self._colors,
-             self._tcolors, self._buckets) = _internal
+            (self._layout, self._schedule, self._backend, self._precision,
+             self._colors, self._tcolors, self._buckets) = _internal
             return
         if shape is None:
             raise ValueError("shape=(nrows, ncols) is required")
         self._schedule = sched.normalize_schedule(schedule)
         self._backend = backend
+        self._precision = precision
         self._layout = build_layout(
             blocks, rowindices, colindices, shape,
             granularity=granularity, dtype=dtype,
@@ -88,13 +90,13 @@ class BlockSparseMatrix(LinearOperator):
     # -- pytree -------------------------------------------------------------
     def tree_flatten(self):
         leaves = self._buckets
-        aux = (self._layout, self._schedule, self._backend, self._colors, self._tcolors)
+        aux = (self._layout, self._schedule, self._backend, self._precision,
+               self._colors, self._tcolors)
         return leaves, aux
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        layout, schedule, backend, colors, tcolors = aux
-        return cls(_internal=(layout, schedule, backend, colors, tcolors, tuple(leaves)))
+        return cls(_internal=aux + (tuple(leaves),))
 
     # -- properties ---------------------------------------------------------
     @property
@@ -154,7 +156,7 @@ class BlockSparseMatrix(LinearOperator):
         out_len = self.shape[1] if transpose else self.shape[0]
         return apply_operand(
             self._buckets, self._layout, self._backend, out_len, x,
-            transpose=transpose, conj=conj,
+            transpose=transpose, conj=conj, precision=self._precision,
         )
 
     def __repr__(self):

@@ -60,13 +60,14 @@ class SymmetricBlockMatrix(LinearOperator):
         schedule: str = sched.COLORED,
         granularity: tuple[int, int] = (1, 1),
         backend: str = "auto",
+        precision: str | None = "highest",
         dtype=None,
         _internal=None,
     ):
         if _internal is not None:
             (self._dlayout, self._olayout, self._schedule, self._backend,
-             self._dcolors, self._ocolors, self._tocolors, self._fused_colors,
-             self._dbuckets, self._obuckets) = _internal
+             self._precision, self._dcolors, self._ocolors, self._tocolors,
+             self._fused_colors, self._dbuckets, self._obuckets) = _internal
             return
         if shape is None:
             raise ValueError("shape=(nrows, ncols) is required")
@@ -74,6 +75,7 @@ class SymmetricBlockMatrix(LinearOperator):
             raise ValueError(f"symmetric matrix must be square, got {shape}")
         self._schedule = sched.normalize_schedule(schedule)
         self._backend = backend
+        self._precision = precision
         self._dlayout = build_layout(
             diagonals, diagonalindices, diagonalindices, shape,
             granularity=granularity, dtype=dtype,
@@ -116,15 +118,15 @@ class SymmetricBlockMatrix(LinearOperator):
         leaves = (self._dbuckets, self._obuckets)
         aux = (
             self._dlayout, self._olayout, self._schedule, self._backend,
-            self._dcolors, self._ocolors, self._tocolors, self._fused_colors,
+            self._precision, self._dcolors, self._ocolors, self._tocolors,
+            self._fused_colors,
         )
         return leaves, aux
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         dbuckets, obuckets = leaves
-        internal = aux[:4] + aux[4:] + (tuple(dbuckets), tuple(obuckets))
-        return cls(_internal=internal)
+        return cls(_internal=aux + (tuple(dbuckets), tuple(obuckets)))
 
     # -- properties ---------------------------------------------------------
     @property
@@ -199,6 +201,7 @@ class SymmetricBlockMatrix(LinearOperator):
         return apply_symmetric(
             self._dbuckets, self._dlayout, self._obuckets, self._olayout,
             self._backend, self.shape[0], x, transpose=transpose, conj=conj,
+            precision=self._precision,
         )
 
     def __repr__(self):

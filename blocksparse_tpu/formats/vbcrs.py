@@ -66,19 +66,21 @@ class VariableBlockCompressedRowStorage(LinearOperator):
         schedule: str = sched.SERIAL,
         granularity: tuple[int, int] = (1, 1),
         backend: str = "auto",
+        precision: str | None = "highest",
         dtype=None,
         check: bool = True,
         _internal=None,
     ):
         if _internal is not None:
-            (self._layout, self._schedule, self._backend, self._rowptr,
-             self._row_starts, self._col_starts, self._blockrow_starts,
-             self._buckets) = _internal
+            (self._layout, self._schedule, self._backend, self._precision,
+             self._rowptr, self._row_starts, self._col_starts,
+             self._blockrow_starts, self._buckets) = _internal
             return
         if shape is None:
             raise ValueError("shape=(nrows, ncols) is required")
         self._schedule = sched.normalize_schedule(schedule)
         self._backend = backend
+        self._precision = precision
 
         n = len(blocks)
         blocks = [np.asarray(b) for b in blocks]
@@ -165,8 +167,9 @@ class VariableBlockCompressedRowStorage(LinearOperator):
     # -- pytree -------------------------------------------------------------
     def tree_flatten(self):
         aux = (
-            self._layout, self._schedule, self._backend, self._rowptr,
-            self._row_starts, self._col_starts, self._blockrow_starts,
+            self._layout, self._schedule, self._backend, self._precision,
+            self._rowptr, self._row_starts, self._col_starts,
+            self._blockrow_starts,
         )
         return self._buckets, aux
 
@@ -237,7 +240,7 @@ class VariableBlockCompressedRowStorage(LinearOperator):
         out_len = self.shape[1] if transpose else self.shape[0]
         return apply_operand(
             self._buckets, self._layout, self._backend, out_len, x,
-            transpose=transpose, conj=conj,
+            transpose=transpose, conj=conj, precision=self._precision,
         )
 
     def __repr__(self):

@@ -53,6 +53,7 @@ def apply_operand(
     *,
     transpose: bool = False,
     conj: bool = False,
+    precision=None,
 ):
     """Apply a bucketed operand with per-bucket backend routing."""
     interpret = backend == "pallas-interpret"
@@ -64,7 +65,10 @@ def apply_operand(
         use_pallas = jax.default_backend() == "tpu"
 
     if not use_pallas:
-        return bucket_apply(dev_buckets, out_len, x, transpose=transpose, conj=conj)
+        return bucket_apply(
+            dev_buckets, out_len, x, transpose=transpose, conj=conj,
+            precision=precision,
+        )
 
     n_in = x.shape[0]
     r = 1 if x.ndim == 1 else x.shape[1]
@@ -84,12 +88,14 @@ def apply_operand(
     for vals, rs, cs in pallas_parts:
         # conj is a no-op for the real dtypes this path admits
         part = contiguous_block_apply(
-            vals, rs, cs, x, out_len, transpose=transpose, interpret=interpret
+            vals, rs, cs, x, out_len, transpose=transpose, interpret=interpret,
+            precision=precision,
         )
         y = part if y is None else y + part
     if xla_buckets:
         part = bucket_apply(
-            xla_buckets, out_len, x, transpose=transpose, conj=conj
+            xla_buckets, out_len, x, transpose=transpose, conj=conj,
+            precision=precision,
         )
         y = part if y is None else y + part
     if y is None:
@@ -109,6 +115,7 @@ def apply_symmetric(
     *,
     transpose: bool = False,
     conj: bool = False,
+    precision=None,
 ):
     """Symmetric operand: S = D + O + O^T.
 
@@ -138,17 +145,23 @@ def apply_symmetric(
             rs = jnp.asarray(host_b.row_start, dtype=jnp.int32)
             cs = jnp.asarray(host_b.col_start, dtype=jnp.int32)
             part = contiguous_block_apply(
-                vals, rs, cs, x, n, symmetric=True, interpret=interpret
+                vals, rs, cs, x, n, symmetric=True, interpret=interpret,
+                precision=precision,
             )
             y = part if y is None else y + part
         else:
             xla_off.append((vals, ridx, cidx))
     if xla_off:
-        part = bucket_apply(xla_off, n, x, transpose=False, conj=conj)
-        part = part + bucket_apply(xla_off, n, x, transpose=True, conj=conj)
+        part = bucket_apply(
+            xla_off, n, x, transpose=False, conj=conj, precision=precision
+        )
+        part = part + bucket_apply(
+            xla_off, n, x, transpose=True, conj=conj, precision=precision
+        )
         y = part if y is None else y + part
 
     diag = apply_operand(
-        diag_buckets, diag_layout, backend, n, x, transpose=transpose, conj=conj
+        diag_buckets, diag_layout, backend, n, x, transpose=transpose,
+        conj=conj, precision=precision,
     )
     return diag if y is None else y + diag

@@ -65,6 +65,7 @@ def _kernel(
     transpose: bool,
     symmetric: bool,
     acc_dtype,
+    precision,
 ):
     step = pl.program_id(1)
 
@@ -88,12 +89,12 @@ def _kernel(
                 # blk^T @ xg : contract over the row axis (dim 0 of blk)
                 y = jax.lax.dot_general(
                     blk, xg, (((0,), (0,)), ((), ())),
-                    preferred_element_type=acc_dtype,
+                    preferred_element_type=acc_dtype, precision=precision,
                 )  # [kp, TR]
             else:
                 y = jax.lax.dot_general(
                     blk, xg, (((1,), (0,)), ((), ())),
-                    preferred_element_type=acc_dtype,
+                    preferred_element_type=acc_dtype, precision=precision,
                 )  # [mp, TR]
             cur = out_ref[pl.ds(outs, out_extent), :]
             out_ref[pl.ds(outs, out_extent), :] = cur + y
@@ -107,7 +108,7 @@ def _kernel(
                 xr = x_ref[pl.ds(outs, mp), :]  # rows gather
                 yt = jax.lax.dot_general(
                     blk, xr, (((0,), (0,)), ((), ())),
-                    preferred_element_type=acc_dtype,
+                    preferred_element_type=acc_dtype, precision=precision,
                 )  # [kp, TR]
                 curt = out_ref[pl.ds(ins, kp), :]
                 out_ref[pl.ds(ins, kp), :] = curt + yt
@@ -131,7 +132,8 @@ def fits_vmem(n_in: int, n_out: int, r_tile: int, mp: int, kp: int,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "out_len", "transpose", "symmetric", "interpret", "r_tile", "block_batch",
+        "out_len", "transpose", "symmetric", "interpret", "r_tile",
+        "block_batch", "precision",
     ),
 )
 def contiguous_block_apply(
@@ -146,6 +148,7 @@ def contiguous_block_apply(
     interpret: bool = False,
     r_tile: int | None = None,
     block_batch: int | None = None,
+    precision=None,
 ):
     """Fused contiguous-block product: returns [out_len] or [out_len, r].
 
@@ -216,6 +219,7 @@ def contiguous_block_apply(
         transpose=transpose,
         symmetric=symmetric,
         acc_dtype=acc_dtype,
+        precision=jax.lax.Precision(precision) if precision else None,
     )
 
     flops = 2 * nb * mp * kp * r_pad

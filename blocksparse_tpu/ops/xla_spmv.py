@@ -45,6 +45,7 @@ def bucket_apply(
     transpose: bool = False,
     conj: bool = False,
     acc_dtype=None,
+    precision=None,
 ):
     """Apply a bucketed block-sparse operand to ``x`` ([n] or [n, r]).
 
@@ -74,7 +75,9 @@ def bucket_apply(
             gather_idx, scatter_idx = cidx, ridx
             spec = "bmk,bkr->bmr"
         xg = x_ext[gather_idx]  # [nb, g, r]
-        yp = jnp.einsum(spec, v, xg, preferred_element_type=acc_dtype)
+        yp = jnp.einsum(
+            spec, v, xg, preferred_element_type=acc_dtype, precision=precision
+        )
         acc = acc.at[scatter_idx.reshape(-1)].add(
             yp.reshape(-1, r), indices_are_sorted=False, unique_indices=False
         )
