@@ -47,6 +47,7 @@ from .formats.block_sparse import BlockSparseMatrix
 from .formats.symmetric import SymmetricBlockMatrix
 from .formats.vbcrs import VariableBlockCompressedRowStorage
 from .interop.scipy_io import from_scipy_blocks, rowcolvals, sparse, to_scipy
+from .interop.serialize import load, save
 from .interop.viz import blocksummary, show, spy
 
 __version__ = "0.1.0"
@@ -86,6 +87,8 @@ __all__ = [
     "sparse",
     "to_scipy",
     "from_scipy_blocks",
+    "save",
+    "load",
     "spy",
     "show",
     "blocksummary",

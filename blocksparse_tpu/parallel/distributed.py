@@ -116,61 +116,92 @@ class DistributedBlockOperator:
         self.dtype = np.result_type(*[b.dtype for b in blocks]) if blocks else np.float32
 
         self.part = partition_rows(m, nshards)
-        stacked, self.padded_rows = stack_buckets(layout, self.part)
         self.rows_per = self.part.shard_rows
         self.cols_per = -(-n // nshards)
         self.padded_cols = self.cols_per * nshards
+        stacked, self.padded_rows = stack_buckets(
+            layout, self.part, cols_per=self.cols_per
+        )
         # any remote contributions at all? (static: decides psum_scatter)
         self.has_remote = any(
-            bool(np.any(b["remote_row_idx"] < self.padded_rows)) for b in stacked
+            bool(np.any(g[grp]["remote_row_idx"] < self.padded_rows))
+            for g in stacked
+            for grp in ("loc", "rem")
         )
+        # does any block need the gathered x at all? (static: elides gather)
+        self.needs_gather = any(g["rem"]["values"].size for g in stacked)
 
         sh = NamedSharding(mesh, P(axis))
-        self.buckets = tuple(
-            tuple(
-                jax.device_put(jnp.asarray(b[k]), sh)
+
+        def put(d):
+            return tuple(
+                jax.device_put(jnp.asarray(d[k]), sh)
                 for k in ("values", "row_idx", "col_idx", "remote_row_idx")
             )
-            for b in stacked
-        )
+
+        # x-local blocks consume the shard's own x slice and run while the
+        # mesh-wide gather for x-remote blocks is still in flight.
+        self.loc_buckets = tuple(put(g["loc"]) for g in stacked if g["loc"]["values"].size)
+        self.rem_buckets = tuple(put(g["rem"]) for g in stacked if g["rem"]["values"].size)
         self._mv_cache: dict[int, object] = {}
 
     # -- the shard_map kernel ------------------------------------------------
     def _local_apply(self, x_local, *flat_buckets):
-        """Runs per shard: x_local [cols_per(, r)] -> y_local [rows_per(, r)]."""
+        """Runs per shard: x_local [cols_per(, r)] -> y_local [rows_per(, r)].
+
+        Execution order is chosen so XLA's latency-hiding scheduler overlaps
+        the ICI all_gather with the x-local block GEMMs: the gather result is
+        consumed only by the x-remote group.
+        """
         axis = self.axis
         vec = x_local.ndim == 1
         xl = x_local[:, None] if vec else x_local
         r = xl.shape[1]
-        # 1. assemble full x over ICI
-        x_full = jax.lax.all_gather(xl, axis, axis=0, tiled=True)  # [padded_cols, r]
-        # sentinel col = ncols: guaranteed readable (values there are zero
-        # when ncols < padded_cols; when equal, clamp reads a real x row but
-        # the padded value lanes are zero so the contribution is zero).
         acc_dtype = jnp.result_type(self.dtype, xl.dtype)
+        # 1. start assembling full x over ICI (consumed only in step 3)
+        x_full = (
+            jax.lax.all_gather(xl, axis, axis=0, tiled=True)
+            if self.needs_gather
+            else None
+        )
+        # sentinel handling: padded gather rows read some in-range x row via
+        # clamping, but the padded value lanes are zero so contributions are 0.
         y_local = jnp.zeros((self.rows_per + 1, r), dtype=acc_dtype)
         y_remote = (
             jnp.zeros((self.padded_rows + 1, r), dtype=acc_dtype)
             if self.has_remote
             else None
         )
-        nb = len(self.buckets)
+
         it = iter(flat_buckets)
-        for _ in range(nb):
+
+        def consume(src, y_local, y_remote):
             # [0] drops the unit shard dimension left by P(axis) sharding
             vals = next(it)[0]
             ridx = next(it)[0]
             cidx = next(it)[0]
             rridx = next(it)[0]
-            xg = x_full[cidx]  # [nbmax, kp, r]
-            yp = jnp.einsum("bmk,bkr->bmr", vals, xg, preferred_element_type=acc_dtype)
+            xg = src[cidx]  # [nbmax, kp, r]
+            yp = jnp.einsum(
+                "bmk,bkr->bmr", vals, xg, preferred_element_type=acc_dtype
+            )
             ypf = yp.reshape(-1, r)
             y_local = y_local.at[ridx.reshape(-1)].add(ypf)
             if self.has_remote:
                 y_remote = y_remote.at[rridx.reshape(-1)].add(ypf)
+            return y_local, y_remote
+
+        # 2. x-local blocks: consume the shard's own slice immediately
+        xl_ext = jnp.concatenate([xl, jnp.zeros((1, r), xl.dtype)], axis=0)
+        for _ in range(len(self.loc_buckets)):
+            y_local, y_remote = consume(xl_ext, y_local, y_remote)
+        # 3. x-remote blocks: consume the gathered x
+        for _ in range(len(self.rem_buckets)):
+            y_local, y_remote = consume(x_full, y_local, y_remote)
+
         out = y_local[: self.rows_per]
         if self.has_remote:
-            # 3. reduce-scatter remote contributions onto their owners
+            # 4. reduce-scatter remote contributions onto their owners
             remote = jax.lax.psum_scatter(
                 y_remote[: self.padded_rows], axis, scatter_dimension=0, tiled=True
             )
@@ -181,7 +212,7 @@ class DistributedBlockOperator:
         if ndim in self._mv_cache:
             return self._mv_cache[ndim]
         axis = self.axis
-        nleaves = 4 * len(self.buckets)
+        nleaves = 4 * (len(self.loc_buckets) + len(self.rem_buckets))
         xspec = P(axis) if ndim == 1 else P(axis, None)
 
         def body(x_local, *flat):
@@ -215,7 +246,7 @@ class DistributedBlockOperator:
             padw = ((0, pad),) + ((0, 0),) * (x.ndim - 1)
             x = jnp.pad(x, padw)
         fn = self._build_mv(x.ndim)
-        y = fn(x, *(v for b in self.buckets for v in b))
+        y = fn(x, *(v for b in self.loc_buckets + self.rem_buckets for v in b))
         return y[:m]
 
     def matvec_closure(self):

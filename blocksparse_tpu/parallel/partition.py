@@ -53,19 +53,27 @@ def partition_rows(nrows: int, nshards: int) -> RowPartition:
     return RowPartition(nshards=nshards, nrows=nrows, offsets=offsets)
 
 
-def stack_buckets(layout, part: RowPartition):
+def stack_buckets(layout, part: RowPartition, cols_per: int | None = None):
     """Assign blocks to shards (by first row index) and build stacked
     per-shard bucket arrays with identical static shapes.
 
-    Returns a list over buckets of dicts with:
+    Blocks are additionally split by **x-locality**: a block whose column
+    indices all fall inside its owning shard's x range [s*cols_per,
+    (s+1)*cols_per) can consume the shard's own x slice directly and does not
+    have to wait for the mesh-wide gather of x -- XLA then overlaps the
+    collective with these local GEMMs (the "overlapped halo" execution of
+    BASELINE.json's north star).  Pass ``cols_per=None`` to disable the split
+    (everything lands in the remote group).
+
+    Returns (stacked, padded_rows) where ``stacked`` is a list over buckets
+    of dicts with two groups, "loc" and "rem", each containing:
       values  [S, nbmax, mp, kp]
-      row_idx [S, nbmax, mp]   (LOCAL row ids in [0, shard_rows]; sentinel =
-                                shard_rows -- rows owned by other shards are
-                                routed through the remote-contribution slot)
-      col_idx [S, nbmax, kp]   (GLOBAL col ids; sentinel = ncols)
-      remote_row_idx [S, nbmax, mp]  (GLOBAL row ids for psum path; sentinel
-                                      = padded nrows)
-    plus the padded global row length.
+      row_idx [S, nbmax, mp]   LOCAL y rows in [0, shard_rows]; sentinel =
+                               shard_rows (dropped accumulator slot)
+      remote_row_idx [S, nbmax, mp]  GLOBAL y rows for the psum path;
+                                     sentinel = padded nrows
+      col_idx [S, nbmax, kp]   "loc": LOCAL x rows (sentinel = cols_per);
+                               "rem": GLOBAL x rows (sentinel = ncols)
     """
     S = part.nshards
     rows_per = part.shard_rows
@@ -73,40 +81,57 @@ def stack_buckets(layout, part: RowPartition):
     out = []
     for b in layout.buckets:
         nb = b.values.shape[0]
-        owner = np.empty(nb, dtype=np.int64)
-        for j in range(nb):
-            first = int(b.row_idx[j, 0]) if b.values.shape[1] else 0
-            owner[j] = min(first // rows_per, S - 1)
-        counts = np.bincount(owner, minlength=S)
-        nbmax = int(counts.max()) if nb else 0
         mp, kp = b.mp, b.kp
-        values = np.zeros((S, nbmax, mp, kp), dtype=b.values.dtype)
-        # sentinel local row = rows_per (dropped slot of local accumulator)
-        row_idx = np.full((S, nbmax, mp), rows_per, dtype=np.int32)
-        remote_row_idx = np.full((S, nbmax, mp), padded_rows, dtype=np.int32)
-        col_idx = np.full((S, nbmax, kp), layout.ncols, dtype=np.int32)
-        fill = np.zeros(S, dtype=np.int64)
+        owner = np.empty(nb, dtype=np.int64)
+        xlocal = np.zeros(nb, dtype=bool)
         for j in range(nb):
-            s = owner[j]
-            slot = fill[s]
-            fill[s] += 1
-            values[s, slot] = b.values[j]
-            col_idx[s, slot] = b.col_idx[j]
-            gr = b.row_idx[j].astype(np.int64)
-            is_sentinel = gr >= layout.nrows
-            local = gr - part.offsets[s]
-            owned = (~is_sentinel) & (local >= 0) & (local < rows_per)
-            # rows owned by this shard -> local accumulator
-            row_idx[s, slot] = np.where(owned, local, rows_per).astype(np.int32)
-            # rows owned elsewhere -> global remote accumulator (psum path)
-            remote = (~is_sentinel) & (~owned)
-            remote_row_idx[s, slot] = np.where(remote, gr, padded_rows).astype(np.int32)
-        out.append(
-            dict(
+            first = int(b.row_idx[j, 0]) if mp else 0
+            s = min(first // rows_per, S - 1)
+            owner[j] = s
+            if cols_per is not None:
+                ci = b.col_idx[j].astype(np.int64)
+                real = ci < layout.ncols
+                lo, hi = s * cols_per, (s + 1) * cols_per
+                xlocal[j] = bool(np.all((ci[real] >= lo) & (ci[real] < hi)))
+
+        groups = {}
+        for key, members in (("loc", xlocal), ("rem", ~xlocal)):
+            ids = np.nonzero(members)[0]
+            counts = np.bincount(owner[ids], minlength=S) if ids.size else np.zeros(S, int)
+            nbmax = int(counts.max()) if ids.size else 0
+            values = np.zeros((S, nbmax, mp, kp), dtype=b.values.dtype)
+            row_idx = np.full((S, nbmax, mp), rows_per, dtype=np.int32)
+            remote_row_idx = np.full((S, nbmax, mp), padded_rows, dtype=np.int32)
+            col_sentinel = cols_per if key == "loc" else layout.ncols
+            col_idx = np.full((S, nbmax, kp), col_sentinel, dtype=np.int32)
+            fill = np.zeros(S, dtype=np.int64)
+            for j in ids:
+                s = owner[j]
+                slot = fill[s]
+                fill[s] += 1
+                values[s, slot] = b.values[j]
+                ci = b.col_idx[j].astype(np.int64)
+                if key == "loc":
+                    # rebase to the shard's local x slice
+                    local_c = ci - s * cols_per
+                    local_c = np.where(ci >= layout.ncols, cols_per, local_c)
+                    col_idx[s, slot] = local_c.astype(np.int32)
+                else:
+                    col_idx[s, slot] = ci.astype(np.int32)
+                gr = b.row_idx[j].astype(np.int64)
+                is_sentinel = gr >= layout.nrows
+                local = gr - part.offsets[s]
+                owned = (~is_sentinel) & (local >= 0) & (local < rows_per)
+                row_idx[s, slot] = np.where(owned, local, rows_per).astype(np.int32)
+                remote = (~is_sentinel) & (~owned)
+                remote_row_idx[s, slot] = np.where(
+                    remote, gr, padded_rows
+                ).astype(np.int32)
+            groups[key] = dict(
                 values=values,
                 row_idx=row_idx,
                 col_idx=col_idx,
                 remote_row_idx=remote_row_idx,
             )
-        )
+        out.append(groups)
     return out, padded_rows

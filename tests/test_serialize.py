@@ -1,0 +1,67 @@
+"""Save/load round-trip tests for all three formats."""
+
+import numpy as np
+import pytest
+
+import blocksparse_tpu as bst
+from blocksparse_tpu.utils.testmatrices import (
+    random_block_sparse,
+    random_symmetric,
+    random_vbcrs,
+)
+
+TOL = 1e-13
+
+
+def relerr(a, b):
+    a, b = np.asarray(a), np.asarray(b)
+    scale = max(1.0, float(np.max(np.abs(b))) if b.size else 1.0)
+    return float(np.max(np.abs(a - b))) / scale
+
+
+def test_roundtrip_block_sparse(tmp_path, rng):
+    blocks, rows, cols, shape = random_block_sparse(
+        71, shape=(300, 300), nblocks=20, max_block=30, dtype=np.complex128
+    )
+    A = bst.BlockSparseMatrix(blocks, rows, cols, shape, schedule="colored")
+    p = tmp_path / "a.npz"
+    bst.save(p, A)
+    B = bst.load(p)
+    x = rng.standard_normal(300) + 1j * rng.standard_normal(300)
+    assert relerr(B @ x, A @ x) < TOL
+    assert B.schedule == A.schedule and B.nnz == A.nnz and B.shape == A.shape
+
+
+def test_roundtrip_symmetric(tmp_path, rng):
+    d, di, o, ri, ci, shape = random_symmetric(
+        72, n=250, ngroups=8, noffdiag=10, dtype=np.complex128
+    )
+    S = bst.SymmetricBlockMatrix(d, di, o, ri, ci, shape)
+    p = tmp_path / "s.npz"
+    bst.save(p, S)
+    S2 = bst.load(p)
+    x = rng.standard_normal(250) + 1j * rng.standard_normal(250)
+    assert relerr(S2 @ x, S @ x) < TOL
+    assert relerr(S2.H @ x, S.H @ x) < TOL
+    assert S2.nnz == S.nnz
+
+
+def test_roundtrip_vbcrs(tmp_path, rng):
+    blocks, rs, cs, shape = random_vbcrs(73, shape=(300, 300), nrowgroups=6,
+                                         ncolgroups=6)
+    V = bst.VariableBlockCompressedRowStorage(blocks, rs, cs, shape)
+    p = tmp_path / "v.npz"
+    bst.save(p, V)
+    V2 = bst.load(p, backend="xla")
+    x = rng.standard_normal(300)
+    assert relerr(V2 @ x, V @ x) < TOL
+    assert V2.rowptr == V.rowptr
+
+
+def test_save_wrapper_rejected(tmp_path):
+    blocks, rows, cols, shape = random_block_sparse(
+        74, shape=(100, 100), nblocks=5, max_block=10, dtype=np.float64
+    )
+    A = bst.BlockSparseMatrix(blocks, rows, cols, shape)
+    with pytest.raises(TypeError):
+        bst.save(tmp_path / "t.npz", A.T)
