@@ -8,26 +8,27 @@ Headline metric (BASELINE.json config 1): general block-sparse SpMV,
 4096x4096, ~200 uniform 64x64 fp32 dense blocks.  SpMV is HBM-bound, so the
 roofline is memory bandwidth over bytes-per-nnz; ``vs_baseline`` is the
 achieved fraction of roofline divided by the 0.80 north-star target
-(>= 1.0 means the target is met).  Secondary configs print to stderr.
+(>= 1.0 means the target is met).  The reference publishes no numbers
+(BASELINE.md), so roofline fraction is the baseline by definition.
 
-The reference publishes no numbers (BASELINE.md), so roofline fraction is the
-baseline by definition.
+Secondary configs (2: symmetric fused, 3: VBCRS mixed block sizes,
+4: SpMM with many RHS columns) print to stderr.  Timing uses the relay-safe
+chained estimator (see blocksparse_tpu/utils/timing.py); run on an otherwise
+idle machine.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-# TPU v5e (the benchmark chip, tunneled via axon): HBM bandwidth ~819 GB/s.
 HBM_GBPS = {"v5e": 819.0, "v5": 819.0, "v4": 1228.0, "v6e": 1640.0}
 TARGET_FRACTION = 0.80  # BASELINE.json north star: >=80% of roofline
 
 
 def detect_bw():
-    import os
-
     gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
     for k, v in HBM_GBPS.items():
         if gen.startswith(k):
@@ -35,78 +36,139 @@ def detect_bw():
     return 819.0
 
 
-def build_config1(n=4096, nblocks=200, bs=64, seed=7, dtype=np.float32):
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build_config1(n=4096, nblocks=200, bs=64, seed=7, dtype=np.float32, **kw):
     """~200 uniform bs x bs blocks at block-aligned positions (config 1)."""
     import blocksparse_tpu as bst
 
     rng = np.random.default_rng(seed)
     ntiles = n // bs
-    # distinct (row, col) tile positions
     pos = rng.choice(ntiles * ntiles, size=nblocks, replace=False)
     rows = (pos // ntiles) * bs
     cols = (pos % ntiles) * bs
     blocks = [rng.standard_normal((bs, bs)).astype(dtype) for _ in range(nblocks)]
-    A = bst.BlockSparseMatrix(
+    return bst.BlockSparseMatrix(
         blocks,
         [np.arange(r, r + bs) for r in rows],
         [np.arange(c, c + bs) for c in cols],
         (n, n),
-        backend="auto",
+        **kw,
     )
-    return A
+
+
+def build_config2(n=4096, seed=8, **kw):
+    """Symmetric with half-stored off-diagonals (config 2)."""
+    import blocksparse_tpu as bst
+    from blocksparse_tpu.utils.testmatrices import random_symmetric
+
+    d, di, o, ri, ci, shape = random_symmetric(
+        seed, n=n, ngroups=48, noffdiag=160, dtype=np.float32, contiguous=True
+    )
+    return bst.SymmetricBlockMatrix(d, di, o, ri, ci, shape, **kw)
+
+
+def build_config3(n=4096, seed=9, **kw):
+    """VBCRS with mixed 16-128 blocks (config 3)."""
+    import blocksparse_tpu as bst
+
+    rng = np.random.default_rng(seed)
+    # random contiguous partition with group sizes 16..128
+    bounds = [0]
+    while bounds[-1] < n:
+        bounds.append(min(n, bounds[-1] + int(rng.integers(16, 129))))
+    groups = [np.arange(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)]
+    ng = len(groups)
+    blocks, rs, cs = [], [], []
+    for gi in range(ng):
+        for gj in rng.choice(ng, size=min(6, ng), replace=False):
+            blocks.append(
+                rng.standard_normal(
+                    (len(groups[gi]), len(groups[int(gj)]))
+                ).astype(np.float32)
+            )
+            rs.append(int(groups[gi][0]))
+            cs.append(int(groups[int(gj)][0]))
+    return bst.VariableBlockCompressedRowStorage(
+        blocks, rs, cs, (n, n), granularity=(8, 128), **kw
+    )
+
+
+def bench_op(A, x, iters=(10, 60)):
+    from blocksparse_tpu.utils.timing import chained_time_per_iter
+
+    return chained_time_per_iter(
+        lambda v: (A @ v) * 1e-3, x, iters_lo=iters[0], iters_hi=iters[1], repeats=3
+    )
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    import blocksparse_tpu as bst
-    from blocksparse_tpu.utils.timing import chained_time_per_iter
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                                   ".jax_cache_tpu")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import blocksparse_tpu as bst  # noqa: F401
 
     backend = jax.default_backend()
-    print(f"# backend: {backend}, devices: {jax.devices()}", file=sys.stderr)
+    log(f"# backend: {backend}, devices: {jax.devices()}")
+    bw = detect_bw() * 1e9
+    rng = np.random.default_rng(0)
 
+    # -- config 1 (headline): general SpMV ---------------------------------
     A = build_config1()
     n = A.shape[0]
     nnz = A.nnz
-    x = jnp.asarray(np.random.default_rng(0).standard_normal(n).astype(np.float32))
-
-    # chained on-device timing (block_until_ready is unreliable through the
-    # axon relay; see blocksparse_tpu/utils/timing.py)
-    dt = chained_time_per_iter(
-        lambda v: (A @ v) * 1e-3, x, iters_lo=10, iters_hi=60, repeats=3
-    )
-    nnz_per_s = nnz / dt
-    gflops = 2 * nnz / dt / 1e9
-
-    # memory-bound roofline: each nnz read once (4 B fp32); x/y traffic is
-    # negligible at this density but included for honesty
-    bw = detect_bw() * 1e9
-    bytes_per_matvec = nnz * 4 + 2 * n * 4
-    roofline_nnz_per_s = nnz / (bytes_per_matvec / bw)
-    frac = nnz_per_s / roofline_nnz_per_s
-
-    print(
-        f"# spmv 4096/200x64x64 f32: {dt*1e6:.1f} us, {gflops:.1f} GFLOP/s, "
-        f"{nnz_per_s/1e9:.2f} Gnnz/s, {100*frac:.1f}% of roofline",
-        file=sys.stderr,
+    x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    dt = bench_op(A, x)
+    bytes_per = nnz * 4 + 2 * n * 4
+    roof = nnz / (bytes_per / bw)
+    frac = (nnz / dt) / roof
+    log(
+        f"# config1 spmv 4096/200x64x64: {dt*1e6:.1f} us, "
+        f"{2*nnz/dt/1e9:.1f} GFLOP/s, {100*frac:.1f}% of roofline"
     )
 
-    # secondary: SpMM with 128 RHS columns (config 4)
+    # -- config 4: SpMM on config-1 matrix ----------------------------------
     try:
-        X = jnp.asarray(
-            np.random.default_rng(1).standard_normal((n, 128)).astype(np.float32)
+        X = jnp.asarray(rng.standard_normal((n, 128)).astype(np.float32))
+        dtm = bench_op(A, X, iters=(5, 25))
+        log(f"# config4 spmm r=128: {dtm*1e6:.1f} us, {2*nnz*128/dtm/1e12:.2f} TFLOP/s")
+    except Exception as e:
+        log(f"# config4 failed: {e}")
+
+    # -- config 2: symmetric fused ------------------------------------------
+    try:
+        S = build_config2()
+        xs = jnp.asarray(rng.standard_normal(S.shape[0]).astype(np.float32))
+        dts = bench_op(S, xs, iters=(5, 25))
+        s_bytes = (S._dlayout.padded_nnz + S._olayout.padded_nnz) * 4
+        log(
+            f"# config2 symmetric spmv (half-stored): {dts*1e6:.1f} us, "
+            f"{2*S.nnz/dts/1e9:.1f} GFLOP/s, stored-bytes {s_bytes/1e6:.1f} MB, "
+            f"{100*(s_bytes/dts)/bw:.1f}% of stored-traffic roofline"
         )
-        dtm = chained_time_per_iter(
-            lambda v: (A @ v) * 1e-3, X, iters_lo=5, iters_hi=25, repeats=2
+    except Exception as e:
+        log(f"# config2 failed: {e}")
+
+    # -- config 3: VBCRS mixed sizes ----------------------------------------
+    try:
+        V = build_config3()
+        xv = jnp.asarray(rng.standard_normal(V.shape[1]).astype(np.float32))
+        dtv = bench_op(V, xv, iters=(5, 25))
+        v_bytes = V.layout.padded_nnz * 4
+        log(
+            f"# config3 vbcrs mixed 16-128 spmv: {dtv*1e6:.1f} us, "
+            f"{2*V.nnz/dtv/1e9:.1f} GFLOP/s, "
+            f"{100*(v_bytes/dtv)/bw:.1f}% of padded-traffic roofline"
         )
-        gflops_mm = 2 * nnz * 128 / dtm / 1e9
-        print(
-            f"# spmm r=128: {dtm*1e6:.1f} us, {gflops_mm:.1f} GFLOP/s",
-            file=sys.stderr,
-        )
-    except Exception as e:  # pragma: no cover
-        print(f"# spmm failed: {e}", file=sys.stderr)
+    except Exception as e:
+        log(f"# config3 failed: {e}")
 
     print(
         json.dumps(

@@ -46,7 +46,13 @@ from .core.schedule import AUTO, COLORED, SERIAL, isserial
 from .formats.block_sparse import BlockSparseMatrix
 from .formats.symmetric import SymmetricBlockMatrix
 from .formats.vbcrs import VariableBlockCompressedRowStorage
-from .interop.scipy_io import from_scipy_blocks, rowcolvals, sparse, to_scipy
+from .interop.scipy_io import (
+    from_dense,
+    from_scipy_blocks,
+    rowcolvals,
+    sparse,
+    to_scipy,
+)
 from .interop.serialize import load, save
 from .interop.viz import blocksummary, show, spy
 
@@ -87,6 +93,7 @@ __all__ = [
     "sparse",
     "to_scipy",
     "from_scipy_blocks",
+    "from_dense",
     "save",
     "load",
     "spy",

@@ -24,7 +24,7 @@ from ..formats.block_sparse import BlockSparseMatrix
 from ..formats.symmetric import SymmetricBlockMatrix
 from ..formats.vbcrs import VariableBlockCompressedRowStorage
 
-__all__ = ["rowcolvals", "to_scipy", "sparse", "from_scipy_blocks"]
+__all__ = ["rowcolvals", "to_scipy", "sparse", "from_scipy_blocks", "from_dense"]
 
 
 def _block_triplets(rows, cols, vals):
@@ -101,6 +101,26 @@ def to_scipy(A: LinearOperator):
 
 # Julia-parity alias
 sparse = to_scipy
+
+
+def from_dense(
+    D, block_size: int, *, tol: float = 0.0, dtype=None, **kwargs
+) -> BlockSparseMatrix:
+    """Tile a dense matrix into uniform ``block_size`` tiles, keeping tiles
+    with any entry of magnitude > ``tol``.  Convenience constructor."""
+    D = np.asarray(D)
+    m, n = D.shape
+    blocks, rows, cols = [], [], []
+    bs = block_size
+    for bi in range(0, m, bs):
+        for bj in range(0, n, bs):
+            tile = D[bi : bi + bs, bj : bj + bs]
+            if not np.any(np.abs(tile) > tol):
+                continue
+            blocks.append(tile if dtype is None else tile.astype(dtype))
+            rows.append(np.arange(bi, min(bi + bs, m)))
+            cols.append(np.arange(bj, min(bj + bs, n)))
+    return BlockSparseMatrix(blocks, rows, cols, (m, n), **kwargs)
 
 
 def from_scipy_blocks(S, block_size: int, *, dtype=None, **kwargs) -> BlockSparseMatrix:
