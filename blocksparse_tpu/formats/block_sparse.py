@@ -55,18 +55,20 @@ class BlockSparseMatrix(LinearOperator):
         granularity: tuple[int, int] = (1, 1),
         backend: str = "auto",
         precision: str | None = "highest",
+        scatter: str = "atomic",
         dtype=None,
         _internal=None,
     ):
         if _internal is not None:
             (self._layout, self._schedule, self._backend, self._precision,
-             self._colors, self._tcolors, self._buckets) = _internal
+             self._scatter, self._colors, self._tcolors, self._buckets) = _internal
             return
         if shape is None:
             raise ValueError("shape=(nrows, ncols) is required")
         self._schedule = sched.normalize_schedule(schedule)
         self._backend = backend
         self._precision = precision
+        self._scatter = scatter
         self._layout = build_layout(
             blocks, rowindices, colindices, shape,
             granularity=granularity, dtype=dtype,
@@ -91,7 +93,7 @@ class BlockSparseMatrix(LinearOperator):
     def tree_flatten(self):
         leaves = self._buckets
         aux = (self._layout, self._schedule, self._backend, self._precision,
-               self._colors, self._tcolors)
+               self._scatter, self._colors, self._tcolors)
         return leaves, aux
 
     @classmethod
@@ -157,6 +159,7 @@ class BlockSparseMatrix(LinearOperator):
         return apply_operand(
             self._buckets, self._layout, self._backend, out_len, x,
             transpose=transpose, conj=conj, precision=self._precision,
+            scatter=self._scatter,
         )
 
     def __repr__(self):

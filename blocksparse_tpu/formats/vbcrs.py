@@ -67,13 +67,14 @@ class VariableBlockCompressedRowStorage(LinearOperator):
         granularity: tuple[int, int] = (1, 1),
         backend: str = "auto",
         precision: str | None = "highest",
+        scatter: str = "atomic",
         dtype=None,
         check: bool = True,
         _internal=None,
     ):
         if _internal is not None:
             (self._layout, self._schedule, self._backend, self._precision,
-             self._rowptr, self._row_starts, self._col_starts,
+             self._scatter, self._rowptr, self._row_starts, self._col_starts,
              self._blockrow_starts, self._buckets) = _internal
             return
         if shape is None:
@@ -81,6 +82,7 @@ class VariableBlockCompressedRowStorage(LinearOperator):
         self._schedule = sched.normalize_schedule(schedule)
         self._backend = backend
         self._precision = precision
+        self._scatter = scatter
 
         n = len(blocks)
         blocks = [np.asarray(b) for b in blocks]
@@ -168,7 +170,7 @@ class VariableBlockCompressedRowStorage(LinearOperator):
     def tree_flatten(self):
         aux = (
             self._layout, self._schedule, self._backend, self._precision,
-            self._rowptr, self._row_starts, self._col_starts,
+            self._scatter, self._rowptr, self._row_starts, self._col_starts,
             self._blockrow_starts,
         )
         return self._buckets, aux
@@ -241,6 +243,7 @@ class VariableBlockCompressedRowStorage(LinearOperator):
         return apply_operand(
             self._buckets, self._layout, self._backend, out_len, x,
             transpose=transpose, conj=conj, precision=self._precision,
+            scatter=self._scatter,
         )
 
     def __repr__(self):

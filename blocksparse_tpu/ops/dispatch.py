@@ -26,6 +26,21 @@ import numpy as np
 from .pallas.fused_spmm import contiguous_block_apply, fits_vmem
 from .xla_spmv import bucket_apply
 
+
+def _sorted_scatter_info(host_buckets, transpose: bool):
+    """Host-side scatter permutations for the sort+segment-sum strategy."""
+    import jax.numpy as jnp
+
+    info = []
+    for hb in host_buckets:
+        targets = (hb.col_idx if transpose else hb.row_idx).reshape(-1)
+        perm = np.argsort(targets, kind="stable")
+        info.append(
+            (jnp.asarray(perm.astype(np.int32)),
+             jnp.asarray(targets[perm].astype(np.int32)))
+        )
+    return info
+
 __all__ = ["apply_operand"]
 
 _REAL_TPU_DTYPES = ("float32", "bfloat16")
@@ -54,6 +69,7 @@ def apply_operand(
     transpose: bool = False,
     conj: bool = False,
     precision=None,
+    scatter: str = "atomic",
 ):
     """Apply a bucketed operand with per-bucket backend routing."""
     interpret = backend == "pallas-interpret"
@@ -65,9 +81,14 @@ def apply_operand(
         use_pallas = jax.default_backend() == "tpu"
 
     if not use_pallas:
+        sinfo = (
+            _sorted_scatter_info(layout.buckets, transpose)
+            if scatter == "sorted"
+            else None
+        )
         return bucket_apply(
             dev_buckets, out_len, x, transpose=transpose, conj=conj,
-            precision=precision,
+            precision=precision, scatter_info=sinfo,
         )
 
     n_in = x.shape[0]
@@ -76,6 +97,7 @@ def apply_operand(
 
     pallas_parts = []
     xla_buckets = []
+    xla_hosts = []
     for host_b, (vals, ridx, cidx) in zip(layout.buckets, dev_buckets):
         if _bucket_eligible(host_b, n_in, out_len, r, interpret, dtype):
             rs = jnp.asarray(host_b.row_start, dtype=jnp.int32)
@@ -83,6 +105,7 @@ def apply_operand(
             pallas_parts.append((vals, rs, cs))
         else:
             xla_buckets.append((vals, ridx, cidx))
+            xla_hosts.append(host_b)
 
     y = None
     for vals, rs, cs in pallas_parts:
@@ -93,9 +116,14 @@ def apply_operand(
         )
         y = part if y is None else y + part
     if xla_buckets:
+        sinfo = (
+            _sorted_scatter_info(xla_hosts, transpose)
+            if scatter == "sorted"
+            else None
+        )
         part = bucket_apply(
             xla_buckets, out_len, x, transpose=transpose, conj=conj,
-            precision=precision,
+            precision=precision, scatter_info=sinfo,
         )
         y = part if y is None else y + part
     if y is None:

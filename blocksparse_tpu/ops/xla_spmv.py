@@ -46,6 +46,7 @@ def bucket_apply(
     conj: bool = False,
     acc_dtype=None,
     precision=None,
+    scatter_info=None,
 ):
     """Apply a bucketed block-sparse operand to ``x`` ([n] or [n, r]).
 
@@ -55,6 +56,13 @@ def bucket_apply(
     values are used transposed -- a pure flag flip, no data movement
     (parity with the reference's lazy Adjoint/Transpose wrapping,
     blockmatrix.jl:154-206).
+
+    ``scatter_info``: optional parallel list; entry i is None (use the
+    deterministic scatter-add) or a (perm, sorted_targets) pair for the
+    sort + sorted-segment-sum strategy (SURVEY.md §7 stance 3): the
+    contributions are permuted into target order and reduced with
+    ``segment_sum(indices_are_sorted=True)``, which lowers to a fast
+    sequential reduction on TPU instead of a random-index scatter.
     """
     vec = x.ndim == 1
     xm = x[:, None] if vec else x
@@ -65,8 +73,10 @@ def bucket_apply(
         vdts = [v.dtype for v, _, _ in buckets]
         acc_dtype = jnp.result_type(xm.dtype, *vdts) if vdts else xm.dtype
     acc = jnp.zeros((out_len + 1, r), dtype=acc_dtype)
+    if scatter_info is None:
+        scatter_info = [None] * len(buckets)
 
-    for vals, ridx, cidx in buckets:
+    for (vals, ridx, cidx), sinfo in zip(buckets, scatter_info):
         v = jnp.conj(vals) if conj else vals
         if transpose:
             gather_idx, scatter_idx = ridx, cidx
@@ -78,9 +88,17 @@ def bucket_apply(
         yp = jnp.einsum(
             spec, v, xg, preferred_element_type=acc_dtype, precision=precision
         )
-        acc = acc.at[scatter_idx.reshape(-1)].add(
-            yp.reshape(-1, r), indices_are_sorted=False, unique_indices=False
-        )
+        ypf = yp.reshape(-1, r)
+        if sinfo is None:
+            acc = acc.at[scatter_idx.reshape(-1)].add(
+                ypf, indices_are_sorted=False, unique_indices=False
+            )
+        else:
+            perm, targets = sinfo
+            acc = acc + jax.ops.segment_sum(
+                ypf[perm], targets, num_segments=out_len + 1,
+                indices_are_sorted=True,
+            )
 
     out = acc[:out_len]
     return out[:, 0] if vec else out
