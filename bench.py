@@ -99,8 +99,11 @@ def build_config3(n=4096, seed=9, **kw):
 def bench_op(A, x, iters=(10, 60)):
     from blocksparse_tpu.utils.timing import chained_time_per_iter
 
+    # reduce="min": the pooled chip's throughput varies with co-tenant load;
+    # the least-contended window is the honest roofline comparison
     return chained_time_per_iter(
-        lambda v: (A @ v) * 1e-3, x, iters_lo=iters[0], iters_hi=iters[1], repeats=3
+        lambda v: (A @ v) * 1e-3, x,
+        iters_lo=iters[0], iters_hi=iters[1], repeats=5, reduce="min",
     )
 
 

@@ -54,6 +54,16 @@ class Bucket:
 
     Arrays here are host numpy; format classes convert to jnp leaves.
     ``block_ids`` maps bucket-local position -> original block index.
+
+    Chunking (``chunk`` = C > 1): every block in the bucket has contiguous
+    index ranges, and its values are stored shifted by ``(row_start % C,
+    col_start % C)`` inside the tile so that the tile covers whole C-aligned
+    chunks of x and y.  Gather/scatter then run at *chunk* granularity via
+    ``row_chunk_idx``/``col_chunk_idx`` ([nb, mp/C] / [nb, kp/C] indices
+    into x and y viewed as [len/C, C]) -- up to C times fewer indices than
+    the element tables, which is the difference between random-scalar and
+    vector-row data movement on TPU.  The element tables remain valid (the
+    shifted positions hold sentinels) so every engine works on one storage.
     """
 
     mp: int
@@ -65,10 +75,23 @@ class Bucket:
     # Per-block true (unpadded) shapes, parallel to block_ids.
     true_m: np.ndarray  # [nb] int32
     true_k: np.ndarray  # [nb] int32
-    # Contiguity fast-path metadata: start index when the corresponding index
-    # list is a contiguous range, else -1.
+    # Contiguity fast-path metadata: ALIGNED start index (row_start - row_off)
+    # when the index list is a contiguous range, else -1.
     row_start: np.ndarray  # [nb] int32
     col_start: np.ndarray  # [nb] int32
+    # In-tile offsets of the true block (nonzero only when chunk > 1).
+    row_off: np.ndarray = None  # [nb] int32
+    col_off: np.ndarray = None  # [nb] int32
+    chunk: int = 1
+    row_chunk_idx: np.ndarray = None  # [nb, mp // chunk] int32
+    col_chunk_idx: np.ndarray = None  # [nb, kp // chunk] int32
+
+    def __post_init__(self):
+        nb = self.values.shape[0]
+        if self.row_off is None:
+            object.__setattr__(self, "row_off", np.zeros(nb, dtype=np.int32))
+        if self.col_off is None:
+            object.__setattr__(self, "col_off", np.zeros(nb, dtype=np.int32))
 
     @property
     def nblocks(self) -> int:
@@ -104,7 +127,7 @@ class BlockLayout:
             h = hashlib.sha256()
             h.update(np.int64([self.nrows, self.ncols, self.nblocks]).tobytes())
             for b in self.buckets:
-                h.update(np.int64([b.mp, b.kp]).tobytes())
+                h.update(np.int64([b.mp, b.kp, b.chunk]).tobytes())
                 h.update(np.ascontiguousarray(b.values).tobytes())
                 h.update(np.ascontiguousarray(b.row_idx).tobytes())
                 h.update(np.ascontiguousarray(b.col_idx).tobytes())
@@ -139,6 +162,9 @@ def _pad_indices(idx: np.ndarray, padded: int, sentinel: int) -> np.ndarray:
     return out
 
 
+CHUNK_CANDIDATES = (128, 64, 32, 16, 8)
+
+
 def build_layout(
     blocks: Sequence[np.ndarray],
     rowindices: Sequence[np.ndarray],
@@ -146,6 +172,7 @@ def build_layout(
     shape: tuple[int, int],
     *,
     granularity: tuple[int, int] = (1, 1),
+    chunk="auto",
     dtype=None,
 ) -> BlockLayout:
     """Bucket ``blocks`` by padded shape and build SoA index tables.
@@ -153,6 +180,11 @@ def build_layout(
     granularity (gm, gk): each block's (m, k) is rounded up to multiples of
     (gm, gk) to form its bucket key.  (1, 1) = exact-shape bucketing (zero
     padding waste); (8, 128) aligns buckets to TPU f32 tile boundaries.
+
+    chunk: "auto" picks, per bucket of contiguous-range blocks, the largest
+    C in CHUNK_CANDIDATES with C <= min(block dims) and stores blocks
+    offset-shifted so gather/scatter run at C-element chunk granularity
+    (see Bucket docstring).  Pass 1 to disable, or an int to force C.
     """
     nrows, ncols = map(int, shape)
     n = len(blocks)
@@ -188,6 +220,33 @@ def build_layout(
     buckets = []
     for (mp, kp), ids in sorted(groups.items()):
         nb = len(ids)
+        contig = all(
+            rlists[i].size > 0
+            and clists[i].size > 0
+            and is_contiguous(rlists[i])
+            and is_contiguous(clists[i])
+            for i in ids
+        )
+        C = 1
+        if contig and chunk != 1:
+            cands = (int(chunk),) if isinstance(chunk, int) else CHUNK_CANDIDATES
+            for c in cands:
+                if c <= mp and c <= kp:
+                    C = c
+                    break
+        if C > 1:
+            offs_r = np.array([int(rlists[i][0]) % C for i in ids], dtype=np.int32)
+            offs_c = np.array([int(clists[i][0]) % C for i in ids], dtype=np.int32)
+            mp = round_up(
+                int(max(offs_r[j] + rlists[i].size for j, i in enumerate(ids))), C
+            )
+            kp = round_up(
+                int(max(offs_c[j] + clists[i].size for j, i in enumerate(ids))), C
+            )
+        else:
+            offs_r = np.zeros(nb, dtype=np.int32)
+            offs_c = np.zeros(nb, dtype=np.int32)
+
         vals = np.zeros((nb, mp, kp), dtype=dtype)
         ridx = np.full((nb, mp), nrows, dtype=np.int32)
         cidx = np.full((nb, kp), ncols, dtype=np.int32)
@@ -195,17 +254,23 @@ def build_layout(
         tk = np.zeros((nb,), dtype=np.int32)
         rstart = np.full((nb,), -1, dtype=np.int32)
         cstart = np.full((nb,), -1, dtype=np.int32)
+        rchunk = np.zeros((nb, mp // C), dtype=np.int32) if C > 1 else None
+        cchunk = np.zeros((nb, kp // C), dtype=np.int32) if C > 1 else None
         for j, i in enumerate(ids):
             b = np.asarray(blocks[i])
             m, k = b.shape
-            vals[j, :m, :k] = b
-            ridx[j] = _pad_indices(rlists[i], mp, nrows)
-            cidx[j] = _pad_indices(clists[i], kp, ncols)
+            orr, occ = int(offs_r[j]), int(offs_c[j])
+            vals[j, orr : orr + m, occ : occ + k] = b
+            ridx[j, orr : orr + m] = rlists[i]
+            cidx[j, occ : occ + k] = clists[i]
             tm[j], tk[j] = m, k
             if is_contiguous(rlists[i]) and m > 0:
-                rstart[j] = rlists[i][0]
+                rstart[j] = int(rlists[i][0]) - orr  # C-aligned tile start
             if is_contiguous(clists[i]) and k > 0:
-                cstart[j] = clists[i][0]
+                cstart[j] = int(clists[i][0]) - occ
+            if C > 1:
+                rchunk[j] = rstart[j] // C + np.arange(mp // C, dtype=np.int32)
+                cchunk[j] = cstart[j] // C + np.arange(kp // C, dtype=np.int32)
         buckets.append(
             Bucket(
                 mp=mp,
@@ -218,6 +283,11 @@ def build_layout(
                 true_k=tk,
                 row_start=rstart,
                 col_start=cstart,
+                row_off=offs_r,
+                col_off=offs_c,
+                chunk=C,
+                row_chunk_idx=rchunk,
+                col_chunk_idx=cchunk,
             )
         )
 

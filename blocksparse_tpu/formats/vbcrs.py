@@ -223,7 +223,8 @@ class VariableBlockCompressedRowStorage(LinearOperator):
         bi, slot = self._layout.block_loc[i]
         b = self._layout.buckets[bi]
         m, k = int(b.true_m[slot]), int(b.true_k[slot])
-        return np.asarray(self._buckets[bi][0][slot, :m, :k])
+        orr, occ = int(b.row_off[slot]), int(b.col_off[slot])
+        return np.asarray(self._buckets[bi][0][slot, orr : orr + m, occ : occ + k])
 
     def blockrowindices(self, i: int) -> np.ndarray:
         return self._layout.rowindices[i]

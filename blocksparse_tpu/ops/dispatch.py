@@ -24,7 +24,39 @@ import jax.numpy as jnp
 import numpy as np
 
 from .pallas.fused_spmm import contiguous_block_apply, fits_vmem
-from .xla_spmv import bucket_apply
+from .xla_spmv import bucket_apply, chunked_bucket_apply
+
+
+def _xla_engine(dev_buckets, host_buckets, out_len, x, *, transpose, conj,
+                precision, scatter):
+    """Non-pallas path: chunk-granular engine for chunked buckets, element
+    engine (optionally sorted-scatter) for the rest."""
+    y = None
+    elem_dev, elem_host = [], []
+    for hb, (vals, ridx, cidx) in zip(host_buckets, dev_buckets):
+        if hb.chunk > 1:
+            rc = jnp.asarray(hb.row_chunk_idx)
+            cc = jnp.asarray(hb.col_chunk_idx)
+            part = chunked_bucket_apply(
+                vals, rc, cc, hb.chunk, out_len, x,
+                transpose=transpose, conj=conj, precision=precision,
+            )
+            y = part if y is None else y + part
+        else:
+            elem_dev.append((vals, ridx, cidx))
+            elem_host.append(hb)
+    if elem_dev:
+        sinfo = (
+            _sorted_scatter_info(elem_host, transpose)
+            if scatter == "sorted"
+            else None
+        )
+        part = bucket_apply(
+            elem_dev, out_len, x, transpose=transpose, conj=conj,
+            precision=precision, scatter_info=sinfo,
+        )
+        y = part if y is None else y + part
+    return y
 
 
 def _sorted_scatter_info(host_buckets, transpose: bool):
@@ -81,15 +113,14 @@ def apply_operand(
         use_pallas = jax.default_backend() == "tpu"
 
     if not use_pallas:
-        sinfo = (
-            _sorted_scatter_info(layout.buckets, transpose)
-            if scatter == "sorted"
-            else None
+        y = _xla_engine(
+            dev_buckets, layout.buckets, out_len, x, transpose=transpose,
+            conj=conj, precision=precision, scatter=scatter,
         )
-        return bucket_apply(
-            dev_buckets, out_len, x, transpose=transpose, conj=conj,
-            precision=precision, scatter_info=sinfo,
-        )
+        if y is None:
+            shape = (out_len,) if x.ndim == 1 else (out_len, x.shape[1])
+            y = jnp.zeros(shape, dtype=x.dtype)
+        return y
 
     n_in = x.shape[0]
     r = 1 if x.ndim == 1 else x.shape[1]
@@ -106,6 +137,7 @@ def apply_operand(
         else:
             xla_buckets.append((vals, ridx, cidx))
             xla_hosts.append(host_b)
+    # route non-pallas buckets through the chunk-aware engine
 
     y = None
     for vals, rs, cs in pallas_parts:
@@ -116,14 +148,9 @@ def apply_operand(
         )
         y = part if y is None else y + part
     if xla_buckets:
-        sinfo = (
-            _sorted_scatter_info(xla_hosts, transpose)
-            if scatter == "sorted"
-            else None
-        )
-        part = bucket_apply(
-            xla_buckets, out_len, x, transpose=transpose, conj=conj,
-            precision=precision, scatter_info=sinfo,
+        part = _xla_engine(
+            xla_buckets, xla_hosts, out_len, x, transpose=transpose,
+            conj=conj, precision=precision, scatter=scatter,
         )
         y = part if y is None else y + part
     if y is None:
@@ -168,6 +195,7 @@ def apply_symmetric(
     y = None
     fused_ok = use_pallas and not np.issubdtype(np.dtype(dtype), np.complexfloating)
     xla_off = []
+    xla_off_hosts = []
     for host_b, (vals, ridx, cidx) in zip(off_layout.buckets, off_buckets):
         if fused_ok and _bucket_eligible(host_b, x.shape[0], n, r, interpret, dtype):
             rs = jnp.asarray(host_b.row_start, dtype=jnp.int32)
@@ -179,12 +207,15 @@ def apply_symmetric(
             y = part if y is None else y + part
         else:
             xla_off.append((vals, ridx, cidx))
+            xla_off_hosts.append(host_b)
     if xla_off:
-        part = bucket_apply(
-            xla_off, n, x, transpose=False, conj=conj, precision=precision
+        part = _xla_engine(
+            xla_off, xla_off_hosts, n, x, transpose=False, conj=conj,
+            precision=precision, scatter="atomic",
         )
-        part = part + bucket_apply(
-            xla_off, n, x, transpose=True, conj=conj, precision=precision
+        part = part + _xla_engine(
+            xla_off, xla_off_hosts, n, x, transpose=True, conj=conj,
+            precision=precision, scatter="atomic",
         )
         y = part if y is None else y + part
 

@@ -25,7 +25,11 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["bucket_apply", "extend_input", "BucketArrays"]
+__all__ = ["bucket_apply", "chunked_bucket_apply", "extend_input", "BucketArrays"]
+
+
+def _round_up(a: int, b: int) -> int:
+    return -(-a // b) * b
 
 # A "device bucket" is a triple (values[nb,mp,kp], row_idx[nb,mp], col_idx[nb,kp]).
 BucketArrays = tuple
@@ -101,4 +105,57 @@ def bucket_apply(
             )
 
     out = acc[:out_len]
+    return out[:, 0] if vec else out
+
+
+def chunked_bucket_apply(
+    vals,
+    row_chunk_idx,
+    col_chunk_idx,
+    chunk: int,
+    out_len: int,
+    x: jnp.ndarray,
+    *,
+    transpose: bool = False,
+    conj: bool = False,
+    acc_dtype=None,
+    precision=None,
+):
+    """Chunk-granular engine for contiguous-range buckets.
+
+    Blocks are stored offset-shifted so their tiles cover whole C-aligned
+    chunks of x and y (core/layout.py Bucket docstring); the gather and
+    scatter-add then move [C(, r)]-shaped rows of ``x.reshape(-1, C)`` /
+    ``y.reshape(-1, C)`` instead of single elements -- C times fewer
+    indices, which converts TPU-hostile random scalar access into vector
+    row access.  The offset-padding zeros in ``vals`` make the extra
+    covered elements contribute exactly 0.
+    """
+    C = int(chunk)
+    vec = x.ndim == 1
+    xm = x[:, None] if vec else x
+    n_in, r = xm.shape
+    nb, mp, kp = vals.shape
+    if acc_dtype is None:
+        acc_dtype = jnp.result_type(xm.dtype, vals.dtype)
+
+    if transpose:
+        gather_idx, scatter_idx = row_chunk_idx, col_chunk_idx
+        g_extent, s_extent = mp, kp
+        spec = "bmk,bmr->bkr"
+    else:
+        gather_idx, scatter_idx = col_chunk_idx, row_chunk_idx
+        g_extent, s_extent = kp, mp
+        spec = "bmk,bkr->bmr"
+
+    v = jnp.conj(vals) if conj else vals
+    in_rows = _round_up(n_in, C) + g_extent
+    x2 = jnp.pad(xm, ((0, in_rows - n_in), (0, 0))).reshape(in_rows // C, C, r)
+    xg = x2[gather_idx].reshape(nb, g_extent, r)
+    yp = jnp.einsum(spec, v, xg, preferred_element_type=acc_dtype,
+                    precision=precision)
+    out_rows = _round_up(out_len, C) + s_extent
+    y2 = jnp.zeros((out_rows // C, C, r), dtype=acc_dtype)
+    y2 = y2.at[scatter_idx].add(yp.reshape(nb, s_extent // C, C, r))
+    out = y2.reshape(out_rows, r)[:out_len]
     return out[:, 0] if vec else out

@@ -85,7 +85,9 @@ def stack_buckets(layout, part: RowPartition, cols_per: int | None = None):
         owner = np.empty(nb, dtype=np.int64)
         xlocal = np.zeros(nb, dtype=bool)
         for j in range(nb):
-            first = int(b.row_idx[j, 0]) if mp else 0
+            # first REAL row index (slot 0 may be an offset-padding sentinel
+            # in chunked buckets)
+            first = int(b.row_idx[j, int(b.row_off[j])]) if mp else 0
             s = min(first // rows_per, S - 1)
             owner[j] = s
             if cols_per is not None:

@@ -28,11 +28,17 @@ def chained_time_per_iter(
     iters_lo: int = 8,
     iters_hi: int = 40,
     repeats: int = 3,
+    reduce: str = "median",
 ):
-    """Median per-iteration device time of ``x -> step_fn(x)``.
+    """Per-iteration device time of ``x -> step_fn(x)``.
 
     ``step_fn`` must map an array (or pytree) to an array of the same
     structure so iterations chain.  Returns seconds per iteration.
+
+    ``reduce``: "median" for a typical-load estimate, or "min" for the
+    least-contended window — the pooled TPU behind the relay is shared, so
+    its throughput varies several-fold over minutes; "min" approximates the
+    uncontended capability (use for roofline comparisons).
     """
 
     @partial(jax.jit, static_argnums=1)
@@ -60,4 +66,11 @@ def chained_time_per_iter(
         t_hi = time.perf_counter() - t0
         estimates.append((t_hi - t_lo) / (iters_hi - iters_lo))
     estimates.sort()
+    if reduce == "min":
+        # smallest non-degenerate estimate (variance can drive the
+        # difference quotient to ~0; require at least 1 us/iter)
+        for e in estimates:
+            if e > 1e-6:
+                return e
+        return max(estimates[-1], 1e-12)
     return max(estimates[len(estimates) // 2], 1e-12)
