@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .pallas.fused_spmm import contiguous_block_apply, fits_vmem
+from .pallas.fused_spmm import choose_config, contiguous_block_apply
 from .xla_spmv import bucket_apply, chunked_bucket_apply
 
 
@@ -85,10 +85,12 @@ def _bucket_eligible(host_bucket, n_in, n_out, r, interpret: bool, dtype) -> boo
         return False
     if not interpret and np.dtype(dtype).name not in _REAL_TPU_DTYPES:
         return False
-    r_tile = min(-(-r // 128) * 128, 512) if r > 1 else r
-    bb = max(1, min(host_bucket.nblocks,
-                    (512 * 1024) // max(1, host_bucket.mp * host_bucket.kp * 4)))
-    return fits_vmem(n_in, n_out, r_tile, host_bucket.mp, host_bucket.kp, bb)
+    return (
+        choose_config(
+            n_in, n_out, host_bucket.mp, host_bucket.kp, r, host_bucket.nblocks
+        )
+        is not None
+    )
 
 
 def apply_operand(

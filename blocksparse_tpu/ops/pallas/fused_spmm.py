@@ -118,15 +118,47 @@ def _kernel(
     jax.lax.fori_loop(0, block_batch, body, 0, unroll=True)
 
 
+def _vmem_bytes(n_in: int, n_out: int, r_tile: int, mp: int, kp: int,
+                block_batch: int, itemsize: int = 4) -> int:
+    lanes = max(r_tile, 128)  # arrays are lane-padded to 128
+    x_bytes = (n_in + max(mp, kp)) * lanes * itemsize * 2  # double buffered
+    y_bytes = (n_out + max(mp, kp)) * lanes * itemsize
+    v_bytes = 2 * block_batch * mp * kp * itemsize
+    return x_bytes + y_bytes + v_bytes
+
+
+VMEM_BUDGET = 14 * 1024 * 1024
+
+
+def choose_config(n_in: int, n_out: int, mp: int, kp: int, r: int,
+                  nblocks: int):
+    """Pick (r_tile, block_batch) fitting the VMEM budget, or None.
+
+    Shared by the dispatch eligibility check and the kernel wrapper so they
+    can never disagree (a silent eligibility/launch mismatch would fall a
+    bucket back to XLA in one place but not the other).
+    """
+    if r > 1:
+        r_tile = min(-(-r // 128) * 128, 512)
+    else:
+        r_tile = 1
+    while True:
+        bb = max(1, min(nblocks, (512 * 1024) // max(1, mp * kp * 4)))
+        while bb >= 1:
+            if _vmem_bytes(n_in, n_out, r_tile, mp, kp, bb) <= VMEM_BUDGET:
+                return r_tile, bb
+            bb //= 2
+        if r_tile > 128:
+            r_tile //= 2
+        else:
+            return None
+
+
 def fits_vmem(n_in: int, n_out: int, r_tile: int, mp: int, kp: int,
               block_batch: int, itemsize: int = 4,
-              budget: int = 12 * 1024 * 1024) -> bool:
+              budget: int = VMEM_BUDGET) -> bool:
     """Conservative VMEM feasibility check for the v1 kernel."""
-    lanes = max(r_tile, 128)  # arrays are lane-padded to 128
-    x_bytes = (n_in + kp) * lanes * itemsize * 2  # double buffered
-    y_bytes = (n_out + mp) * lanes * itemsize
-    v_bytes = 2 * block_batch * mp * kp * itemsize
-    return x_bytes + y_bytes + v_bytes <= budget
+    return _vmem_bytes(n_in, n_out, r_tile, mp, kp, block_batch, itemsize) <= budget
 
 
 @functools.partial(
@@ -166,12 +198,18 @@ def contiguous_block_apply(
 
     acc_dtype = jnp.float32 if vals.dtype != jnp.float64 else jnp.float64
 
-    if r_tile is None:
-        r_tile = min(_round_up(r, 128), 512) if r > 1 else r
+    if r_tile is None or block_batch is None:
+        cfg = choose_config(n_in, out_len, mp, kp, r, nb)
+        if cfg is None:
+            raise ValueError(
+                "contiguous_block_apply: panels exceed the VMEM budget "
+                "(dispatch should have routed this bucket to the XLA engine)"
+            )
+        if r_tile is None:
+            r_tile = cfg[0]
+        if block_batch is None:
+            block_batch = cfg[1]
     r_pad = _round_up(r, r_tile)
-    if block_batch is None:
-        # target ~512 KB of block values per grid step
-        block_batch = max(1, min(nb, (512 * 1024) // max(1, mp * kp * 4)))
 
     out_start = row_start if not transpose else col_start
     in_start = col_start if not transpose else row_start

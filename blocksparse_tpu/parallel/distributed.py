@@ -123,10 +123,12 @@ class DistributedBlockOperator:
             layout, self.part, cols_per=self.cols_per
         )
         # any remote contributions at all? (static: decides psum_scatter)
+        def _group_has_remote(d):
+            sent = self.padded_rows // max(d["chunk"], 1)
+            return bool(np.any(d["remote_row_idx"] < sent))
+
         self.has_remote = any(
-            bool(np.any(g[grp]["remote_row_idx"] < self.padded_rows))
-            for g in stacked
-            for grp in ("loc", "rem")
+            _group_has_remote(g[grp]) for g in stacked for grp in ("loc", "rem")
         )
         # does any block need the gathered x at all? (static: elides gather)
         self.needs_gather = any(g["rem"]["values"].size for g in stacked)
@@ -142,7 +144,13 @@ class DistributedBlockOperator:
         # x-local blocks consume the shard's own x slice and run while the
         # mesh-wide gather for x-remote blocks is still in flight.
         self.loc_buckets = tuple(put(g["loc"]) for g in stacked if g["loc"]["values"].size)
+        self.loc_chunks = tuple(
+            g["loc"]["chunk"] for g in stacked if g["loc"]["values"].size
+        )
         self.rem_buckets = tuple(put(g["rem"]) for g in stacked if g["rem"]["values"].size)
+        self.rem_chunks = tuple(
+            g["rem"]["chunk"] for g in stacked if g["rem"]["values"].size
+        )
         self._mv_cache: dict[int, object] = {}
 
     # -- the shard_map kernel ------------------------------------------------
@@ -175,29 +183,59 @@ class DistributedBlockOperator:
 
         it = iter(flat_buckets)
 
-        def consume(src, y_local, y_remote):
+        def consume(src, src_len, chunk, y_local, y_remote):
             # [0] drops the unit shard dimension left by P(axis) sharding
             vals = next(it)[0]
             ridx = next(it)[0]
             cidx = next(it)[0]
             rridx = next(it)[0]
-            xg = src[cidx]  # [nbmax, kp, r]
+            nbmax, mp, kp = vals.shape
+            if chunk > 1:
+                C = chunk
+                in_rows = src_len - src_len % -C + kp  # round up + window pad
+                src2 = jnp.pad(src, ((0, in_rows - src_len), (0, 0))).reshape(
+                    in_rows // C, C, r
+                )
+                xg = src2[cidx].reshape(nbmax, kp, r)
+            else:
+                src_ext = jnp.concatenate(
+                    [src, jnp.zeros((1, r), src.dtype)], axis=0
+                )
+                xg = src_ext[cidx]  # [nbmax, kp, r]
             yp = jnp.einsum(
                 "bmk,bkr->bmr", vals, xg, preferred_element_type=acc_dtype
             )
-            ypf = yp.reshape(-1, r)
-            y_local = y_local.at[ridx.reshape(-1)].add(ypf)
-            if self.has_remote:
-                y_remote = y_remote.at[rridx.reshape(-1)].add(ypf)
+            if chunk > 1:
+                C = chunk
+                upd = yp.reshape(nbmax, mp // C, C, r)
+                y2 = jnp.zeros((self.rows_per // C + 1, C, r), dtype=acc_dtype)
+                y2 = y2.at[ridx].add(upd)
+                y_local = y_local.at[: self.rows_per].add(
+                    y2[: self.rows_per // C].reshape(self.rows_per, r)
+                )
+                if self.has_remote:
+                    y2g = jnp.zeros(
+                        (self.padded_rows // C + 1, C, r), dtype=acc_dtype
+                    )
+                    y2g = y2g.at[rridx].add(upd)
+                    y_remote = y_remote.at[: self.padded_rows].add(
+                        y2g[: self.padded_rows // C].reshape(self.padded_rows, r)
+                    )
+            else:
+                ypf = yp.reshape(-1, r)
+                y_local = y_local.at[ridx.reshape(-1)].add(ypf)
+                if self.has_remote:
+                    y_remote = y_remote.at[rridx.reshape(-1)].add(ypf)
             return y_local, y_remote
 
         # 2. x-local blocks: consume the shard's own slice immediately
-        xl_ext = jnp.concatenate([xl, jnp.zeros((1, r), xl.dtype)], axis=0)
-        for _ in range(len(self.loc_buckets)):
-            y_local, y_remote = consume(xl_ext, y_local, y_remote)
+        for C in self.loc_chunks:
+            y_local, y_remote = consume(xl, self.cols_per, C, y_local, y_remote)
         # 3. x-remote blocks: consume the gathered x
-        for _ in range(len(self.rem_buckets)):
-            y_local, y_remote = consume(x_full, y_local, y_remote)
+        for C in self.rem_chunks:
+            y_local, y_remote = consume(
+                x_full, self.padded_cols, C, y_local, y_remote
+            )
 
         out = y_local[: self.rows_per]
         if self.has_remote:

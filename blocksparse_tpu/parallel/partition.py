@@ -43,12 +43,12 @@ class RowPartition:
         return int(next(iter(sizes)))
 
 
-def partition_rows(nrows: int, nshards: int) -> RowPartition:
+def partition_rows(nrows: int, nshards: int, granule: int = 128) -> RowPartition:
     """Uniform contiguous row partition; nrows is padded up conceptually --
-    callers pad x/y to ``offsets[-1]``."""
-    per = -(-nrows // nshards)
-    offsets = tuple(min(i * per, max(nrows, per * nshards)) for i in range(nshards + 1))
-    # keep uniform: use per*nshards as padded length
+    callers pad x/y to ``offsets[-1]``.  Shard sizes are rounded up to
+    ``granule`` so every chunk size C (C divides 128) stays aligned to the
+    shard boundaries and chunks never straddle shards."""
+    per = -(-(-(-nrows // nshards)) // granule) * granule
     offsets = tuple(i * per for i in range(nshards + 1))
     return RowPartition(nshards=nshards, nrows=nrows, offsets=offsets)
 
@@ -82,6 +82,8 @@ def stack_buckets(layout, part: RowPartition, cols_per: int | None = None):
     for b in layout.buckets:
         nb = b.values.shape[0]
         mp, kp = b.mp, b.kp
+        C = int(b.chunk)
+        chunked = C > 1 and cols_per is not None and cols_per % C == 0
         owner = np.empty(nb, dtype=np.int64)
         xlocal = np.zeros(nb, dtype=bool)
         for j in range(nb):
@@ -90,10 +92,16 @@ def stack_buckets(layout, part: RowPartition, cols_per: int | None = None):
             first = int(b.row_idx[j, int(b.row_off[j])]) if mp else 0
             s = min(first // rows_per, S - 1)
             owner[j] = s
-            if cols_per is not None:
+            if cols_per is None:
+                continue
+            lo, hi = s * cols_per, (s + 1) * cols_per
+            if chunked:
+                # the chunk gather reads the whole aligned window
+                cs = int(b.col_start[j])
+                xlocal[j] = cs >= lo and cs + kp <= hi
+            else:
                 ci = b.col_idx[j].astype(np.int64)
                 real = ci < layout.ncols
-                lo, hi = s * cols_per, (s + 1) * cols_per
                 xlocal[j] = bool(np.all((ci[real] >= lo) & (ci[real] < hi)))
 
         groups = {}
@@ -102,38 +110,69 @@ def stack_buckets(layout, part: RowPartition, cols_per: int | None = None):
             counts = np.bincount(owner[ids], minlength=S) if ids.size else np.zeros(S, int)
             nbmax = int(counts.max()) if ids.size else 0
             values = np.zeros((S, nbmax, mp, kp), dtype=b.values.dtype)
-            row_idx = np.full((S, nbmax, mp), rows_per, dtype=np.int32)
-            remote_row_idx = np.full((S, nbmax, mp), padded_rows, dtype=np.int32)
-            col_sentinel = cols_per if key == "loc" else layout.ncols
-            col_idx = np.full((S, nbmax, kp), col_sentinel, dtype=np.int32)
             fill = np.zeros(S, dtype=np.int64)
-            for j in ids:
-                s = owner[j]
-                slot = fill[s]
-                fill[s] += 1
-                values[s, slot] = b.values[j]
-                ci = b.col_idx[j].astype(np.int64)
-                if key == "loc":
-                    # rebase to the shard's local x slice
-                    local_c = ci - s * cols_per
-                    local_c = np.where(ci >= layout.ncols, cols_per, local_c)
-                    col_idx[s, slot] = local_c.astype(np.int32)
-                else:
-                    col_idx[s, slot] = ci.astype(np.int32)
-                gr = b.row_idx[j].astype(np.int64)
-                is_sentinel = gr >= layout.nrows
-                local = gr - part.offsets[s]
-                owned = (~is_sentinel) & (local >= 0) & (local < rows_per)
-                row_idx[s, slot] = np.where(owned, local, rows_per).astype(np.int32)
-                remote = (~is_sentinel) & (~owned)
-                remote_row_idx[s, slot] = np.where(
-                    remote, gr, padded_rows
-                ).astype(np.int32)
+            if chunked:
+                mpc, kpc = mp // C, kp // C
+                loc_sent = rows_per // C
+                rem_sent = padded_rows // C
+                # positional semantics match the element layout:
+                # (local-out, in, remote-out) index tables
+                row_idx = np.full((S, nbmax, mpc), loc_sent, dtype=np.int32)
+                remote_row_idx = np.full((S, nbmax, mpc), rem_sent, dtype=np.int32)
+                col_idx = np.zeros((S, nbmax, kpc), dtype=np.int32)
+                for j in ids:
+                    s = owner[j]
+                    slot = fill[s]
+                    fill[s] += 1
+                    values[s, slot] = b.values[j]
+                    cc = b.col_chunk_idx[j].astype(np.int64)
+                    col_idx[s, slot] = (
+                        cc - (s * cols_per) // C if key == "loc" else cc
+                    ).astype(np.int32)
+                    rc = b.row_chunk_idx[j].astype(np.int64)
+                    local = rc - part.offsets[s] // C
+                    owned = (local >= 0) & (local < rows_per // C)
+                    row_idx[s, slot] = np.where(owned, local, loc_sent).astype(
+                        np.int32
+                    )
+                    remote_row_idx[s, slot] = np.where(
+                        ~owned, rc, rem_sent
+                    ).astype(np.int32)
+            else:
+                row_idx = np.full((S, nbmax, mp), rows_per, dtype=np.int32)
+                remote_row_idx = np.full((S, nbmax, mp), padded_rows, dtype=np.int32)
+                col_sentinel = cols_per if key == "loc" else layout.ncols
+                col_idx = np.full((S, nbmax, kp), col_sentinel, dtype=np.int32)
+                for j in ids:
+                    s = owner[j]
+                    slot = fill[s]
+                    fill[s] += 1
+                    values[s, slot] = b.values[j]
+                    ci = b.col_idx[j].astype(np.int64)
+                    if key == "loc":
+                        # rebase to the shard's local x slice
+                        local_c = ci - s * cols_per
+                        local_c = np.where(ci >= layout.ncols, cols_per, local_c)
+                        col_idx[s, slot] = local_c.astype(np.int32)
+                    else:
+                        col_idx[s, slot] = ci.astype(np.int32)
+                    gr = b.row_idx[j].astype(np.int64)
+                    is_sentinel = gr >= layout.nrows
+                    local = gr - part.offsets[s]
+                    owned = (~is_sentinel) & (local >= 0) & (local < rows_per)
+                    row_idx[s, slot] = np.where(owned, local, rows_per).astype(
+                        np.int32
+                    )
+                    remote = (~is_sentinel) & (~owned)
+                    remote_row_idx[s, slot] = np.where(
+                        remote, gr, padded_rows
+                    ).astype(np.int32)
             groups[key] = dict(
                 values=values,
                 row_idx=row_idx,
                 col_idx=col_idx,
                 remote_row_idx=remote_row_idx,
+                chunk=C if chunked else 1,
             )
         out.append(groups)
     return out, padded_rows

@@ -52,19 +52,41 @@ def chained_time_per_iter(
             leaf
         ).astype(jnp.float32).ravel()[0]
 
-    # compile + warm both variants
-    float(chain(x0, iters_lo))
-    float(chain(x0, iters_hi))
+    def measure(lo, hi, reps):
+        # compile + warm both variants
+        float(chain(x0, lo))
+        float(chain(x0, hi))
+        est = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(chain(x0, lo))
+            t_lo = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(chain(x0, hi))
+            t_hi = time.perf_counter() - t0
+            est.append((t_hi - t_lo) / (hi - lo))
+        return est
 
-    estimates = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        float(chain(x0, iters_lo))
-        t_lo = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        float(chain(x0, iters_hi))
-        t_hi = time.perf_counter() - t0
-        estimates.append((t_hi - t_lo) / (iters_hi - iters_lo))
+    estimates = measure(iters_lo, iters_hi, repeats)
+    # Resolution guard: the fetch round trip jitters by tens of ms, so the
+    # measured window (hi - lo) * dt must be much larger or the difference
+    # quotient is noise.  Scale the chain lengths up until it is.
+    TARGET_WINDOW = 0.5  # seconds
+    for _ in range(4):
+        mid = sorted(estimates)[len(estimates) // 2]
+        span = max(mid, 0.0) * (iters_hi - iters_lo)
+        if span >= TARGET_WINDOW / 4 or iters_hi >= 20000:
+            break
+        scale = int(min(
+            max(2, TARGET_WINDOW / max(span, 1e-4)),
+            20000 / iters_hi,
+        ))
+        if scale < 2:
+            break
+        iters_lo *= scale
+        iters_hi *= scale
+        estimates = measure(iters_lo, iters_hi, repeats)
+
     estimates.sort()
     if reduce == "min":
         # smallest non-degenerate estimate (variance can drive the
