@@ -111,8 +111,11 @@ def apply_operand(
         use_pallas = False
     elif backend in ("pallas", "pallas-interpret"):
         use_pallas = True
-    else:  # auto
-        use_pallas = jax.default_backend() == "tpu"
+    else:  # auto (measured policy, docs/performance.md):
+        # SpMV -> chunk-granular XLA engine (669 vs 452 GB/s);
+        # SpMM -> fused Pallas kernel (29.4 vs 10.7 TFLOP/s, r=128)
+        r_ = 1 if x.ndim == 1 else x.shape[1]
+        use_pallas = jax.default_backend() == "tpu" and r_ > 1
 
     if not use_pallas:
         y = _xla_engine(
