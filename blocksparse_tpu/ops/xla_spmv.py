@@ -31,6 +31,22 @@ __all__ = ["bucket_apply", "chunked_bucket_apply", "extend_input", "BucketArrays
 def _round_up(a: int, b: int) -> int:
     return -(-a // b) * b
 
+
+def _block_contract(spec, v, xg, r, transpose, acc_dtype, precision):
+    """Per-block contraction.  For r == 1 (SpMV) use a VPU multiply+reduce:
+    it is exact in f32 regardless of MXU precision mode and avoids the slow
+    high-precision batched-matvec lowering (measured: 'highest' einsum costs
+    ~13% SpMV bandwidth; this path costs none)."""
+    if r == 1:
+        x1 = xg[..., 0].astype(acc_dtype)
+        vv = v.astype(acc_dtype) if v.dtype != acc_dtype else v
+        if transpose:
+            return jnp.sum(vv * x1[:, :, None], axis=1)[..., None]
+        return jnp.sum(vv * x1[:, None, :], axis=-1)[..., None]
+    return jnp.einsum(
+        spec, v, xg, preferred_element_type=acc_dtype, precision=precision
+    )
+
 # A "device bucket" is a triple (values[nb,mp,kp], row_idx[nb,mp], col_idx[nb,kp]).
 BucketArrays = tuple
 
@@ -89,9 +105,7 @@ def bucket_apply(
             gather_idx, scatter_idx = cidx, ridx
             spec = "bmk,bkr->bmr"
         xg = x_ext[gather_idx]  # [nb, g, r]
-        yp = jnp.einsum(
-            spec, v, xg, preferred_element_type=acc_dtype, precision=precision
-        )
+        yp = _block_contract(spec, v, xg, r, transpose, acc_dtype, precision)
         ypf = yp.reshape(-1, r)
         if sinfo is None:
             acc = acc.at[scatter_idx.reshape(-1)].add(
@@ -152,8 +166,7 @@ def chunked_bucket_apply(
     in_rows = _round_up(n_in, C) + g_extent
     x2 = jnp.pad(xm, ((0, in_rows - n_in), (0, 0))).reshape(in_rows // C, C, r)
     xg = x2[gather_idx].reshape(nb, g_extent, r)
-    yp = jnp.einsum(spec, v, xg, preferred_element_type=acc_dtype,
-                    precision=precision)
+    yp = _block_contract(spec, v, xg, r, transpose, acc_dtype, precision)
     out_rows = _round_up(out_len, C) + s_extent
     y2 = jnp.zeros((out_rows // C, C, r), dtype=acc_dtype)
     y2 = y2.at[scatter_idx].add(yp.reshape(nb, s_extent // C, C, r))

@@ -72,6 +72,52 @@ def test_validation_errors():
         build_layout([np.ones(4)], [np.array([0, 1])], [np.array([0, 1])], (4, 4))
 
 
+def test_chunk_metadata_aligned():
+    """Aligned contiguous blocks: chunk = block dim, zero padding waste."""
+    blocks = [np.ones((64, 64)), np.ones((64, 64))]
+    rows = [np.arange(0, 64), np.arange(128, 192)]
+    cols = [np.arange(64, 128), np.arange(0, 64)]
+    lay = build_layout(blocks, rows, cols, (256, 256))
+    b = lay.buckets[0]
+    assert b.chunk == 64
+    assert (b.mp, b.kp) == (64, 64)  # aligned starts -> no offset padding
+    assert np.all(b.row_off == 0) and np.all(b.col_off == 0)
+    assert lay.padded_nnz == lay.nnz
+    by_id = {int(b.block_ids[j]): j for j in range(2)}
+    assert list(b.row_chunk_idx[by_id[0]]) == [0]
+    assert list(b.row_chunk_idx[by_id[1]]) == [2]
+    assert list(b.col_chunk_idx[by_id[1]]) == [0]
+
+
+def test_chunk_metadata_unaligned():
+    """Unaligned starts: offset-shifted storage, element tables sentineled."""
+    blocks = [np.arange(32.0 * 40).reshape(32, 40)]
+    rows = [np.arange(5, 37)]  # start 5, extent 32 -> C=32, off 5
+    cols = [np.arange(70, 110)]  # start 70, extent 40 -> off 70%32=6
+    lay = build_layout(blocks, rows, cols, (200, 200))
+    b = lay.buckets[0]
+    assert b.chunk == 32
+    assert b.row_off[0] == 5 and b.col_off[0] == 6
+    assert b.mp % 32 == 0 and b.kp % 32 == 0
+    assert b.row_start[0] == 0 and b.col_start[0] == 64  # aligned starts
+    # element table: sentinels in the offset region, real indices after
+    assert b.row_idx[0, 4] == 200 and b.row_idx[0, 5] == 5
+    assert np.all(b.values[0, :5, :] == 0)
+    assert b.values[0, 5, 6] == blocks[0][0, 0]
+    # chunk tables cover the aligned window
+    assert list(b.row_chunk_idx[0]) == [0, 1]
+    assert b.col_chunk_idx[0][0] == 2
+
+
+def test_chunk_disabled():
+    blocks = [np.ones((16, 16))]
+    rows = [np.arange(3, 19)]
+    cols = [np.arange(8, 24)]
+    lay = build_layout(blocks, rows, cols, (64, 64), chunk=1)
+    assert lay.buckets[0].chunk == 1
+    assert lay.buckets[0].row_chunk_idx is None
+
+
 def test_layout_hash_stability():
     def make():
         return build_layout(
