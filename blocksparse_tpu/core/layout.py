@@ -40,6 +40,11 @@ def round_up(x: int, m: int) -> int:
     return -(-int(x) // int(m)) * int(m)
 
 
+def pow2_ceil(x: int) -> int:
+    """Smallest power of two >= x (>= 1)."""
+    return 1 << max(int(x) - 1, 0).bit_length()
+
+
 def is_contiguous(idx: np.ndarray) -> bool:
     """True iff ``idx`` is a contiguous ascending integer range."""
     idx = np.asarray(idx)
@@ -177,20 +182,32 @@ def build_layout(
 ) -> BlockLayout:
     """Bucket ``blocks`` by padded shape and build SoA index tables.
 
-    granularity (gm, gk): each block's (m, k) is rounded up to multiples of
-    (gm, gk) to form its bucket key.  (1, 1) = exact-shape bucketing (zero
-    padding waste); (8, 128) aligns buckets to TPU f32 tile boundaries.
+    granularity: bucket-key policy for ragged block populations.
+      - "pow2" (default): key = next power of two per dim.  Bounds the
+        number of buckets (= compiled kernels / per-product op count) at
+        log^2 while wasting at most ~2x area per dim in the worst case --
+        the right trade on TPU, where per-bucket launch overhead dwarfs a
+        little extra streaming (measured: heterogeneous BEM-like symmetric
+        SpMV is bucket-count-bound at exact shapes).
+      - (gm, gk): round each dim up to these multiples; (1, 1) = exact-shape
+        bucketing (zero padding waste, one bucket per distinct shape).
 
     chunk: "auto" picks, per bucket of contiguous-range blocks, the largest
-    C in CHUNK_CANDIDATES with C <= min(block dims) and stores blocks
-    offset-shifted so gather/scatter run at C-element chunk granularity
-    (see Bucket docstring).  Pass 1 to disable, or an int to force C.
+    C in CHUNK_CANDIDATES whose offset-padding keeps the tile area within
+    2x of the granularity tile (always chunking if any candidate fits the
+    block dims), and stores blocks offset-shifted so gather/scatter run at
+    C-element chunk granularity (see Bucket docstring).  Pass 1 to disable,
+    or an int to force C.
     """
     nrows, ncols = map(int, shape)
     n = len(blocks)
     if not (len(rowindices) == len(colindices) == n):
         raise ValueError("blocks, rowindices, colindices must have equal length")
-    gm, gk = granularity
+    if granularity == "pow2":
+        key_of = lambda m, k: (pow2_ceil(m), pow2_ceil(k))
+    else:
+        gm, gk = granularity
+        key_of = lambda m, k: (round_up(max(m, 1), gm), round_up(max(k, 1), gk))
 
     rlists, clists = [], []
     if dtype is None:
@@ -214,7 +231,7 @@ def build_layout(
             raise ValueError(f"block {i} col indices out of range [0, {ncols})")
         rlists.append(ri.astype(np.int32))
         clists.append(ci.astype(np.int32))
-        key = (round_up(max(b.shape[0], 1), gm), round_up(max(b.shape[1], 1), gk))
+        key = key_of(b.shape[0], b.shape[1])
         groups.setdefault(key, []).append(i)
 
     buckets = []
@@ -227,23 +244,39 @@ def build_layout(
             and is_contiguous(clists[i])
             for i in ids
         )
+        def shape_for(c):
+            offs_r = np.array([int(rlists[i][0]) % c for i in ids], dtype=np.int32)
+            offs_c = np.array([int(clists[i][0]) % c for i in ids], dtype=np.int32)
+            mpc = round_up(
+                int(max(offs_r[j] + rlists[i].size for j, i in enumerate(ids))), c
+            )
+            kpc = round_up(
+                int(max(offs_c[j] + clists[i].size for j, i in enumerate(ids))), c
+            )
+            return offs_r, offs_c, mpc, kpc
+
         C = 1
         if contig and chunk != 1:
             cands = (int(chunk),) if isinstance(chunk, int) else CHUNK_CANDIDATES
+            # largest candidate whose offset-padding stays within 2x of the
+            # granularity tile area; else the viable candidate wasting least
+            # (chunk indexing is ~1000x cheaper per element than the element
+            # engine, so some padded streaming is always the better trade)
+            chosen = None
+            viable = []
             for c in cands:
                 if c <= mp and c <= kp:
-                    C = c
-                    break
-        if C > 1:
-            offs_r = np.array([int(rlists[i][0]) % C for i in ids], dtype=np.int32)
-            offs_c = np.array([int(clists[i][0]) % C for i in ids], dtype=np.int32)
-            mp = round_up(
-                int(max(offs_r[j] + rlists[i].size for j, i in enumerate(ids))), C
-            )
-            kp = round_up(
-                int(max(offs_c[j] + clists[i].size for j, i in enumerate(ids))), C
-            )
-        else:
+                    offs_r, offs_c, mpc, kpc = shape_for(c)
+                    entry = (c, offs_r, offs_c, mpc, kpc)
+                    if mpc * kpc <= 2 * mp * kp:
+                        chosen = entry
+                        break
+                    viable.append(entry)
+            if chosen is None and viable:
+                chosen = min(viable, key=lambda t: t[3] * t[4])
+            if chosen is not None:
+                C, offs_r, offs_c, mp, kp = chosen
+        if C == 1:
             offs_r = np.zeros(nb, dtype=np.int32)
             offs_c = np.zeros(nb, dtype=np.int32)
 

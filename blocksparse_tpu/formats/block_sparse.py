@@ -52,7 +52,7 @@ class BlockSparseMatrix(LinearOperator):
         shape: tuple[int, int] | None = None,
         *,
         schedule: str = sched.SERIAL,
-        granularity: tuple[int, int] = (1, 1),
+        granularity="pow2",
         backend: str = "auto",
         precision: str | None = "highest",
         scatter: str = "atomic",

@@ -58,7 +58,7 @@ class SymmetricBlockMatrix(LinearOperator):
         shape: tuple[int, int] | None = None,
         *,
         schedule: str = sched.COLORED,
-        granularity: tuple[int, int] = (1, 1),
+        granularity="pow2",
         backend: str = "auto",
         precision: str | None = "highest",
         dtype=None,

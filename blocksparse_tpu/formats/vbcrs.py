@@ -64,7 +64,7 @@ class VariableBlockCompressedRowStorage(LinearOperator):
         shape: tuple[int, int] | None = None,
         *,
         schedule: str = sched.SERIAL,
-        granularity: tuple[int, int] = (1, 1),
+        granularity="pow2",
         backend: str = "auto",
         precision: str | None = "highest",
         scatter: str = "atomic",
@@ -129,7 +129,7 @@ class VariableBlockCompressedRowStorage(LinearOperator):
 
     # -- converters (parity: vbcrs.jl:150-199) ------------------------------
     @classmethod
-    def from_block_sparse(cls, bsm, *, schedule=None, granularity=(1, 1)):
+    def from_block_sparse(cls, bsm, *, schedule=None, granularity="pow2"):
         """Convert a BlockSparseMatrix (blocks must have contiguous ranges)."""
         n = bsm.nblocks
         blocks = [bsm.block(i) for i in range(n)]
@@ -142,7 +142,7 @@ class VariableBlockCompressedRowStorage(LinearOperator):
         )
 
     @classmethod
-    def from_symmetric(cls, sbm, *, schedule=None, granularity=(1, 1)):
+    def from_symmetric(cls, sbm, *, schedule=None, granularity="pow2"):
         """Expand a SymmetricBlockMatrix: diagonals once, off-diagonals twice
         (as-is and transposed), parity with vbcrs.jl:189-199."""
         blocks, rows, cols = [], [], []

@@ -40,6 +40,8 @@ def _xla_engine(dev_buckets, host_buckets, out_len, x, *, transpose, conj,
             part = chunked_bucket_apply(
                 vals, rc, cc, hb.chunk, out_len, x,
                 transpose=transpose, conj=conj, precision=precision,
+                row_chunk_max=int(hb.row_chunk_idx.max()),
+                col_chunk_max=int(hb.col_chunk_idx.max()),
             )
             y = part if y is None else y + part
         else:

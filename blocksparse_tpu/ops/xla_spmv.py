@@ -134,6 +134,8 @@ def chunked_bucket_apply(
     conj: bool = False,
     acc_dtype=None,
     precision=None,
+    row_chunk_max: int | None = None,
+    col_chunk_max: int | None = None,
 ):
     """Chunk-granular engine for contiguous-range buckets.
 
@@ -163,12 +165,30 @@ def chunked_bucket_apply(
         spec = "bmk,bkr->bmr"
 
     v = jnp.conj(vals) if conj else vals
-    in_rows = _round_up(n_in, C) + g_extent
-    x2 = jnp.pad(xm, ((0, in_rows - n_in), (0, 0))).reshape(in_rows // C, C, r)
+    g_max = row_chunk_max if transpose else col_chunk_max
+    s_max = col_chunk_max if transpose else row_chunk_max
+
+    # pad elision: when the host layout guarantees every gathered window is
+    # in range and out_len is chunk-aligned, skip the pad and the final
+    # slice -- the graph shrinks to gather / contract / scatter, which is
+    # what keeps tiny matvecs (a handful of us) near the roofline.
+    if g_max is not None and n_in % C == 0 and (g_max + 1) * C <= n_in:
+        x2 = xm.reshape(n_in // C, C, r)
+    else:
+        in_rows = _round_up(n_in, C) + g_extent
+        x2 = jnp.pad(xm, ((0, in_rows - n_in), (0, 0))).reshape(
+            in_rows // C, C, r
+        )
     xg = x2[gather_idx].reshape(nb, g_extent, r)
     yp = _block_contract(spec, v, xg, r, transpose, acc_dtype, precision)
-    out_rows = _round_up(out_len, C) + s_extent
-    y2 = jnp.zeros((out_rows // C, C, r), dtype=acc_dtype)
-    y2 = y2.at[scatter_idx].add(yp.reshape(nb, s_extent // C, C, r))
-    out = y2.reshape(out_rows, r)[:out_len]
+    upd = yp.reshape(nb, s_extent // C, C, r)
+    if s_max is not None and out_len % C == 0 and (s_max + 1) * C <= out_len:
+        y2 = jnp.zeros((out_len // C, C, r), dtype=acc_dtype)
+        y2 = y2.at[scatter_idx].add(upd)
+        out = y2.reshape(out_len, r)
+    else:
+        out_rows = _round_up(out_len, C) + s_extent
+        y2 = jnp.zeros((out_rows // C, C, r), dtype=acc_dtype)
+        y2 = y2.at[scatter_idx].add(upd)
+        out = y2.reshape(out_rows, r)[:out_len]
     return out[:, 0] if vec else out

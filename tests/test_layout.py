@@ -96,17 +96,19 @@ def test_chunk_metadata_unaligned():
     cols = [np.arange(70, 110)]  # start 70, extent 40 -> off 70%32=6
     lay = build_layout(blocks, rows, cols, (200, 200))
     b = lay.buckets[0]
-    assert b.chunk == 32
-    assert b.row_off[0] == 5 and b.col_off[0] == 6
-    assert b.mp % 32 == 0 and b.kp % 32 == 0
+    # waste-aware selection: C=32 would pad 32x40 -> 64x64 (>2x area),
+    # C=16 pads to 48x48 and wins
+    assert b.chunk == 16
+    assert b.row_off[0] == 5 and b.col_off[0] == 70 % 16
+    assert b.mp % 16 == 0 and b.kp % 16 == 0
     assert b.row_start[0] == 0 and b.col_start[0] == 64  # aligned starts
     # element table: sentinels in the offset region, real indices after
     assert b.row_idx[0, 4] == 200 and b.row_idx[0, 5] == 5
     assert np.all(b.values[0, :5, :] == 0)
-    assert b.values[0, 5, 6] == blocks[0][0, 0]
+    assert b.values[0, 5, 70 % 16] == blocks[0][0, 0]
     # chunk tables cover the aligned window
-    assert list(b.row_chunk_idx[0]) == [0, 1]
-    assert b.col_chunk_idx[0][0] == 2
+    assert list(b.row_chunk_idx[0]) == [0, 1, 2]
+    assert b.col_chunk_idx[0][0] == 4
 
 
 def test_chunk_disabled():
