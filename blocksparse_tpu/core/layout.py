@@ -50,7 +50,10 @@ def is_contiguous(idx: np.ndarray) -> bool:
     idx = np.asarray(idx)
     if idx.size == 0:
         return True
-    return bool(np.all(np.diff(idx) == 1))
+    # cheap reject first (lists may be unsorted, so confirm with the full check)
+    if int(idx[-1]) - int(idx[0]) + 1 != idx.size:
+        return False
+    return bool(np.all(idx[1:] == idx[:-1] + 1))
 
 
 @dataclass(frozen=True)
@@ -229,10 +232,14 @@ def build_layout(
             raise ValueError(f"block {i} row indices out of range [0, {nrows})")
         if ci.size and (ci.min() < 0 or ci.max() >= ncols):
             raise ValueError(f"block {i} col indices out of range [0, {ncols})")
-        rlists.append(ri.astype(np.int32))
-        clists.append(ci.astype(np.int32))
+        rlists.append(np.ascontiguousarray(ri, dtype=np.int32))
+        clists.append(np.ascontiguousarray(ci, dtype=np.int32))
         key = key_of(b.shape[0], b.shape[1])
         groups.setdefault(key, []).append(i)
+
+    # contiguity computed once per index list (hot at production block counts)
+    r_contig = [is_contiguous(l) for l in rlists]
+    c_contig = [is_contiguous(l) for l in clists]
 
     buckets = []
     for (mp, kp), ids in sorted(groups.items()):
@@ -240,8 +247,8 @@ def build_layout(
         contig = all(
             rlists[i].size > 0
             and clists[i].size > 0
-            and is_contiguous(rlists[i])
-            and is_contiguous(clists[i])
+            and r_contig[i]
+            and c_contig[i]
             for i in ids
         )
         def shape_for(c):
@@ -280,9 +287,25 @@ def build_layout(
             offs_r = np.zeros(nb, dtype=np.int32)
             offs_c = np.zeros(nb, dtype=np.int32)
 
-        vals = np.zeros((nb, mp, kp), dtype=dtype)
-        ridx = np.full((nb, mp), nrows, dtype=np.int32)
-        cidx = np.full((nb, kp), ncols, dtype=np.int32)
+        packed = None
+        try:
+            from . import native_pack
+
+            if native_pack.available():
+                packed = native_pack.pack_bucket_native(
+                    [np.asarray(blocks[i]) for i in ids],
+                    [rlists[i] for i in ids],
+                    [clists[i] for i in ids],
+                    offs_r, offs_c, mp, kp, dtype, nrows, ncols,
+                )
+        except Exception:
+            packed = None
+        if packed is not None:
+            vals, ridx, cidx = packed
+        else:
+            vals = np.zeros((nb, mp, kp), dtype=dtype)
+            ridx = np.full((nb, mp), nrows, dtype=np.int32)
+            cidx = np.full((nb, kp), ncols, dtype=np.int32)
         tm = np.zeros((nb,), dtype=np.int32)
         tk = np.zeros((nb,), dtype=np.int32)
         rstart = np.full((nb,), -1, dtype=np.int32)
@@ -293,13 +316,14 @@ def build_layout(
             b = np.asarray(blocks[i])
             m, k = b.shape
             orr, occ = int(offs_r[j]), int(offs_c[j])
-            vals[j, orr : orr + m, occ : occ + k] = b
-            ridx[j, orr : orr + m] = rlists[i]
-            cidx[j, occ : occ + k] = clists[i]
+            if packed is None:
+                vals[j, orr : orr + m, occ : occ + k] = b
+                ridx[j, orr : orr + m] = rlists[i]
+                cidx[j, occ : occ + k] = clists[i]
             tm[j], tk[j] = m, k
-            if is_contiguous(rlists[i]) and m > 0:
+            if r_contig[i] and m > 0:
                 rstart[j] = int(rlists[i][0]) - orr  # C-aligned tile start
-            if is_contiguous(clists[i]) and k > 0:
+            if c_contig[i] and k > 0:
                 cstart[j] = int(clists[i][0]) - occ
             if C > 1:
                 rchunk[j] = rstart[j] // C + np.arange(mp // C, dtype=np.int32)

@@ -120,6 +120,27 @@ def test_chunk_disabled():
     assert lay.buckets[0].row_chunk_idx is None
 
 
+def test_native_pack_parity():
+    """Native C++ packer must produce bit-identical buckets to numpy."""
+    from blocksparse_tpu.core import native_pack
+    from blocksparse_tpu.utils.testmatrices import random_block_sparse
+
+    assert native_pack.available(), "native layout packer failed to build"
+    blocks, rows, cols, shape = random_block_sparse(
+        99, shape=(300, 300), nblocks=25, max_block=40, dtype=np.complex128
+    )
+    lay_native = build_layout(blocks, rows, cols, shape)
+
+    # force the python fallback by monkeypatching availability
+    orig = native_pack.available
+    native_pack.available = lambda: False
+    try:
+        lay_python = build_layout(blocks, rows, cols, shape)
+    finally:
+        native_pack.available = orig
+    assert lay_native == lay_python  # content-digest equality covers arrays
+
+
 def test_layout_hash_stability():
     def make():
         return build_layout(
