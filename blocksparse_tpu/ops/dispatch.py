@@ -187,14 +187,14 @@ def apply_symmetric(
     symmetricblockmatrix.jl:394-418).  The diagonal pass honors both flags.
     """
     interpret = backend == "pallas-interpret"
+    r = 1 if x.ndim == 1 else x.shape[1]
     if backend == "xla":
         use_pallas = False
     elif backend in ("pallas", "pallas-interpret"):
         use_pallas = True
-    else:
-        use_pallas = jax.default_backend() == "tpu"
-
-    r = 1 if x.ndim == 1 else x.shape[1]
+    else:  # auto: measured policy -- chunked XLA wins/ties the fused pass
+        # for SpMV (127 vs 187 us at 4k, tie at 16k); fusion pays for SpMM
+        use_pallas = jax.default_backend() == "tpu" and r > 1
     dtype = jnp.result_type(
         x.dtype, *[v.dtype for v, _, _ in diag_buckets + off_buckets]
     )
