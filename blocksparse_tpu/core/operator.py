@@ -208,6 +208,12 @@ class _WrappedOperator(LinearOperator):
     def dtype(self):
         return self.op.dtype
 
+    @property
+    def schedule(self):
+        """Forwarded accessor (parity: ``scheduler(A')``,
+        abstractblockmatrix.jl:50-62)."""
+        return self.op.schedule
+
 
 @jax.tree_util.register_pytree_node_class
 class TransposeOperator(_WrappedOperator):
