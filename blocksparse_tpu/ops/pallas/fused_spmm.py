@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["contiguous_block_apply", "fits_vmem"]
+__all__ = ["contiguous_block_apply", "choose_config"]
 
 
 def _cdiv(a, b):
@@ -119,10 +119,13 @@ def _kernel(
 
 
 def _vmem_bytes(n_in: int, n_out: int, r_tile: int, mp: int, kp: int,
-                block_batch: int, itemsize: int = 4) -> int:
+                block_batch: int, multi_rtile: bool,
+                itemsize: int = 4) -> int:
     lanes = max(r_tile, 128)  # arrays are lane-padded to 128
     x_bytes = (n_in + max(mp, kp)) * lanes * itemsize * 2  # double buffered
-    y_bytes = (n_out + max(mp, kp)) * lanes * itemsize
+    # Mosaic double-buffers the revisited output block too when the RHS-tile
+    # grid has more than one step (its index_map then depends on j)
+    y_bytes = (n_out + max(mp, kp)) * lanes * itemsize * (2 if multi_rtile else 1)
     v_bytes = 2 * block_batch * mp * kp * itemsize
     return x_bytes + y_bytes + v_bytes
 
@@ -143,9 +146,10 @@ def choose_config(n_in: int, n_out: int, mp: int, kp: int, r: int,
     else:
         r_tile = 1
     while True:
+        multi = (-(-r // r_tile)) > 1
         bb = max(1, min(nblocks, (512 * 1024) // max(1, mp * kp * 4)))
         while bb >= 1:
-            if _vmem_bytes(n_in, n_out, r_tile, mp, kp, bb) <= VMEM_BUDGET:
+            if _vmem_bytes(n_in, n_out, r_tile, mp, kp, bb, multi) <= VMEM_BUDGET:
                 return r_tile, bb
             bb //= 2
         if r_tile > 128:
@@ -154,11 +158,7 @@ def choose_config(n_in: int, n_out: int, mp: int, kp: int, r: int,
             return None
 
 
-def fits_vmem(n_in: int, n_out: int, r_tile: int, mp: int, kp: int,
-              block_batch: int, itemsize: int = 4,
-              budget: int = VMEM_BUDGET) -> bool:
-    """Conservative VMEM feasibility check for the v1 kernel."""
-    return _vmem_bytes(n_in, n_out, r_tile, mp, kp, block_batch, itemsize) <= budget
+
 
 
 @functools.partial(
