@@ -80,6 +80,9 @@ __all__ = ["apply_operand"]
 _REAL_TPU_DTYPES = ("float32", "bfloat16")
 
 
+R_SLICE = 128  # RHS columns per Pallas launch for wide SpMM
+
+
 def _bucket_eligible(host_bucket, n_in, n_out, r, interpret: bool, dtype) -> bool:
     if not host_bucket.all_contiguous:
         return False
@@ -87,12 +90,40 @@ def _bucket_eligible(host_bucket, n_in, n_out, r, interpret: bool, dtype) -> boo
         return False
     if not interpret and np.dtype(dtype).name not in _REAL_TPU_DTYPES:
         return False
+    # bf16 VMEM tiles are (16, 128): Mosaic requires provably-aligned
+    # dynamic-slice starts, which the chunked layout guarantees only for
+    # chunk >= 16
+    if np.dtype(dtype).name == "bfloat16" and host_bucket.chunk < 16:
+        return False
+    # wide RHS runs as R_SLICE-column launches (single-tile grids keep the
+    # output panel single-buffered); eligibility checks one slice
     return (
         choose_config(
-            n_in, n_out, host_bucket.mp, host_bucket.kp, r, host_bucket.nblocks
+            n_in, n_out, host_bucket.mp, host_bucket.kp, min(r, R_SLICE),
+            host_bucket.nblocks,
         )
         is not None
     )
+
+
+def _pallas_apply(vals, rs, cs, x, out_len, *, transpose=False, symmetric=False,
+                  interpret=False, precision=None, start_align=1):
+    """Launch the fused kernel, splitting wide RHS into R_SLICE columns."""
+    r = 1 if x.ndim == 1 else x.shape[1]
+    if r <= R_SLICE:
+        return contiguous_block_apply(
+            vals, rs, cs, x, out_len, transpose=transpose, symmetric=symmetric,
+            interpret=interpret, precision=precision, start_align=start_align,
+        )
+    parts = [
+        contiguous_block_apply(
+            vals, rs, cs, x[:, lo : lo + R_SLICE], out_len,
+            transpose=transpose, symmetric=symmetric, interpret=interpret,
+            precision=precision, start_align=start_align,
+        )
+        for lo in range(0, r, R_SLICE)
+    ]
+    return jnp.concatenate(parts, axis=1)
 
 
 def apply_operand(
@@ -140,18 +171,18 @@ def apply_operand(
         if _bucket_eligible(host_b, n_in, out_len, r, interpret, dtype):
             rs = jnp.asarray(host_b.row_start, dtype=jnp.int32)
             cs = jnp.asarray(host_b.col_start, dtype=jnp.int32)
-            pallas_parts.append((vals, rs, cs))
+            pallas_parts.append((vals, rs, cs, host_b.chunk))
         else:
             xla_buckets.append((vals, ridx, cidx))
             xla_hosts.append(host_b)
     # route non-pallas buckets through the chunk-aware engine
 
     y = None
-    for vals, rs, cs in pallas_parts:
+    for vals, rs, cs, align in pallas_parts:
         # conj is a no-op for the real dtypes this path admits
-        part = contiguous_block_apply(
+        part = _pallas_apply(
             vals, rs, cs, x, out_len, transpose=transpose, interpret=interpret,
-            precision=precision,
+            precision=precision, start_align=align,
         )
         y = part if y is None else y + part
     if xla_buckets:
@@ -207,9 +238,9 @@ def apply_symmetric(
         if fused_ok and _bucket_eligible(host_b, x.shape[0], n, r, interpret, dtype):
             rs = jnp.asarray(host_b.row_start, dtype=jnp.int32)
             cs = jnp.asarray(host_b.col_start, dtype=jnp.int32)
-            part = contiguous_block_apply(
+            part = _pallas_apply(
                 vals, rs, cs, x, n, symmetric=True, interpret=interpret,
-                precision=precision,
+                precision=precision, start_align=host_b.chunk,
             )
             y = part if y is None else y + part
         else:

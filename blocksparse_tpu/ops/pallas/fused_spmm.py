@@ -66,6 +66,7 @@ def _kernel(
     symmetric: bool,
     acc_dtype,
     precision,
+    start_align: int,
 ):
     step = pl.program_id(1)
 
@@ -83,6 +84,12 @@ def _kernel(
         def _():
             ins = in_start_ref[b]
             outs = out_start_ref[b]
+            if start_align > 1:
+                # chunked layouts guarantee C-aligned starts; the hint lets
+                # Mosaic prove sublane alignment (required for bf16 tiles,
+                # faster slicing for f32)
+                ins = pl.multiple_of(ins, start_align)
+                outs = pl.multiple_of(outs, start_align)
             xg = x_ref[pl.ds(ins, in_extent), :]  # [in_extent, TR]
             blk = vals_ref[i]  # [mp, kp]
             if transpose:
@@ -165,7 +172,7 @@ def choose_config(n_in: int, n_out: int, mp: int, kp: int, r: int,
     jax.jit,
     static_argnames=(
         "out_len", "transpose", "symmetric", "interpret", "r_tile",
-        "block_batch", "precision",
+        "block_batch", "precision", "start_align",
     ),
 )
 def contiguous_block_apply(
@@ -181,6 +188,7 @@ def contiguous_block_apply(
     r_tile: int | None = None,
     block_batch: int | None = None,
     precision=None,
+    start_align: int = 1,
 ):
     """Fused contiguous-block product: returns [out_len] or [out_len, r].
 
@@ -258,6 +266,7 @@ def contiguous_block_apply(
         symmetric=symmetric,
         acc_dtype=acc_dtype,
         precision=jax.lax.Precision(precision) if precision else None,
+        start_align=start_align,
     )
 
     flops = 2 * nb * mp * kp * r_pad

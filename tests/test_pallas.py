@@ -103,6 +103,22 @@ def test_symmetric_fused_kernel(rng):
     assert relerr(Sp @ X, Sx @ X) < TOL32
 
 
+def test_wide_rhs_split(rng):
+    """r > R_SLICE runs as multiple kernel launches + concat."""
+    blocks, rstarts, cstarts, shape = random_vbcrs(
+        53, shape=(256, 256), nrowgroups=4, ncolgroups=4, dtype=np.float64
+    )
+    blocks32 = [b.astype(np.float32) for b in blocks]
+    Vx = bst.VariableBlockCompressedRowStorage(
+        blocks32, rstarts, cstarts, shape, backend="xla"
+    )
+    Vp = bst.VariableBlockCompressedRowStorage(
+        blocks32, rstarts, cstarts, shape, backend="pallas-interpret"
+    )
+    X = rng.standard_normal((shape[1], 130)).astype(np.float32)  # > R_SLICE
+    assert relerr(Vp @ X, Vx @ X) < TOL32
+
+
 def test_scattered_bucket_falls_back(rng):
     """Non-contiguous index lists must route to the XLA engine even when the
     pallas backend is requested."""
