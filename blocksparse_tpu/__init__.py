@@ -22,6 +22,7 @@ partitioning over a ``jax.sharding.Mesh`` with ICI collectives (see
 ``blocksparse_tpu.parallel``).
 """
 
+from .complexops import ComplexSplitOperator, split_complex
 from .api import (
     block,
     colindices,
@@ -96,6 +97,8 @@ __all__ = [
     "from_dense",
     "save",
     "load",
+    "split_complex",
+    "ComplexSplitOperator",
     "spy",
     "show",
     "blocksummary",

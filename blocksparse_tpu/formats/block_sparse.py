@@ -134,12 +134,16 @@ class BlockSparseMatrix(LinearOperator):
         return range(self._layout.nblocks)
 
     def block(self, i: int) -> np.ndarray:
-        """Unpadded dense block ``i`` (parity: ``block``, blockmatrix.jl:150-160)."""
+        """Unpadded dense block ``i`` (parity: ``block``, blockmatrix.jl:150-160).
+
+        Reads the host-side layout copy (construction values): no device
+        fetch, which also keeps conversions working on backends that cannot
+        transfer the dtype (e.g. complex on the tunneled TPU)."""
         bi, slot = self._layout.block_loc[i]
         b = self._layout.buckets[bi]
         m, k = int(b.true_m[slot]), int(b.true_k[slot])
         orr, occ = int(b.row_off[slot]), int(b.col_off[slot])
-        return np.asarray(self._buckets[bi][0][slot, orr : orr + m, occ : occ + k])
+        return np.asarray(b.values[slot, orr : orr + m, occ : occ + k])
 
     def blockrowindices(self, i: int) -> np.ndarray:
         return self._layout.rowindices[i]

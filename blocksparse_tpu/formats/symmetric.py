@@ -163,14 +163,16 @@ class SymmetricBlockMatrix(LinearOperator):
         b = self._dlayout.buckets[bi]
         m, k = int(b.true_m[slot]), int(b.true_k[slot])
         orr, occ = int(b.row_off[slot]), int(b.col_off[slot])
-        return np.asarray(self._dbuckets[bi][0][slot, orr : orr + m, occ : occ + k])
+        # host-side copy: no device fetch (see BlockSparseMatrix.block)
+        return np.asarray(b.values[slot, orr : orr + m, occ : occ + k])
 
     def offdiagonal(self, i: int) -> np.ndarray:
         bi, slot = self._olayout.block_loc[i]
         b = self._olayout.buckets[bi]
         m, k = int(b.true_m[slot]), int(b.true_k[slot])
         orr, occ = int(b.row_off[slot]), int(b.col_off[slot])
-        return np.asarray(self._obuckets[bi][0][slot, orr : orr + m, occ : occ + k])
+        # host-side copy: no device fetch (see BlockSparseMatrix.block)
+        return np.asarray(b.values[slot, orr : orr + m, occ : occ + k])
 
     def diagonalindices(self, i: int) -> np.ndarray:
         """Parity: ``diagonalindices`` (symmetricblockmatrix.jl:327-339)."""

@@ -224,7 +224,8 @@ class VariableBlockCompressedRowStorage(LinearOperator):
         b = self._layout.buckets[bi]
         m, k = int(b.true_m[slot]), int(b.true_k[slot])
         orr, occ = int(b.row_off[slot]), int(b.col_off[slot])
-        return np.asarray(self._buckets[bi][0][slot, orr : orr + m, occ : occ + k])
+        # host-side copy: no device fetch (see BlockSparseMatrix.block)
+        return np.asarray(b.values[slot, orr : orr + m, occ : occ + k])
 
     def blockrowindices(self, i: int) -> np.ndarray:
         return self._layout.rowindices[i]
