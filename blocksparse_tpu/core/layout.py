@@ -185,8 +185,10 @@ def build_layout(
 ) -> BlockLayout:
     """Bucket ``blocks`` by padded shape and build SoA index tables.
 
-    granularity: bucket-key policy for ragged block populations.
-      - "pow2" (default): key = next power of two per dim.  Bounds the
+    granularity: bucket-key policy for ragged block populations.  The
+      signature default is ``(1, 1)`` (exact-shape bucketing); the format
+      classes pass ``"pow2"`` as *their* default.
+      - "pow2": key = next power of two per dim.  Bounds the
         number of buckets (= compiled kernels / per-product op count) at
         log^2 while wasting at most ~2x area per dim in the worst case --
         the right trade on TPU, where per-bucket launch overhead dwarfs a

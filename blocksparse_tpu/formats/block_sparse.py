@@ -61,7 +61,8 @@ class BlockSparseMatrix(LinearOperator):
     ):
         if _internal is not None:
             (self._layout, self._schedule, self._backend, self._precision,
-             self._scatter, self._colors, self._tcolors, self._buckets) = _internal
+             self._scatter, self._granularity, self._colors, self._tcolors,
+             self._buckets) = _internal
             return
         if shape is None:
             raise ValueError("shape=(nrows, ncols) is required")
@@ -69,6 +70,7 @@ class BlockSparseMatrix(LinearOperator):
         self._backend = backend
         self._precision = precision
         self._scatter = scatter
+        self._granularity = granularity
         self._layout = build_layout(
             blocks, rowindices, colindices, shape,
             granularity=granularity, dtype=dtype,
@@ -93,7 +95,7 @@ class BlockSparseMatrix(LinearOperator):
     def tree_flatten(self):
         leaves = self._buckets
         aux = (self._layout, self._schedule, self._backend, self._precision,
-               self._scatter, self._colors, self._tcolors)
+               self._scatter, self._granularity, self._colors, self._tcolors)
         return leaves, aux
 
     @classmethod

@@ -66,8 +66,9 @@ class SymmetricBlockMatrix(LinearOperator):
     ):
         if _internal is not None:
             (self._dlayout, self._olayout, self._schedule, self._backend,
-             self._precision, self._dcolors, self._ocolors, self._tocolors,
-             self._fused_colors, self._dbuckets, self._obuckets) = _internal
+             self._precision, self._granularity, self._dcolors, self._ocolors,
+             self._tocolors, self._fused_colors, self._dbuckets,
+             self._obuckets) = _internal
             return
         if shape is None:
             raise ValueError("shape=(nrows, ncols) is required")
@@ -76,6 +77,7 @@ class SymmetricBlockMatrix(LinearOperator):
         self._schedule = sched.normalize_schedule(schedule)
         self._backend = backend
         self._precision = precision
+        self._granularity = granularity
         self._dlayout = build_layout(
             diagonals, diagonalindices, diagonalindices, shape,
             granularity=granularity, dtype=dtype,
@@ -118,8 +120,8 @@ class SymmetricBlockMatrix(LinearOperator):
         leaves = (self._dbuckets, self._obuckets)
         aux = (
             self._dlayout, self._olayout, self._schedule, self._backend,
-            self._precision, self._dcolors, self._ocolors, self._tocolors,
-            self._fused_colors,
+            self._precision, self._granularity, self._dcolors, self._ocolors,
+            self._tocolors, self._fused_colors,
         )
         return leaves, aux
 

@@ -74,8 +74,8 @@ class VariableBlockCompressedRowStorage(LinearOperator):
     ):
         if _internal is not None:
             (self._layout, self._schedule, self._backend, self._precision,
-             self._scatter, self._rowptr, self._row_starts, self._col_starts,
-             self._blockrow_starts, self._buckets) = _internal
+             self._scatter, self._granularity, self._rowptr, self._row_starts,
+             self._col_starts, self._blockrow_starts, self._buckets) = _internal
             return
         if shape is None:
             raise ValueError("shape=(nrows, ncols) is required")
@@ -83,6 +83,7 @@ class VariableBlockCompressedRowStorage(LinearOperator):
         self._backend = backend
         self._precision = precision
         self._scatter = scatter
+        self._granularity = granularity
 
         n = len(blocks)
         blocks = [np.asarray(b) for b in blocks]
@@ -170,8 +171,8 @@ class VariableBlockCompressedRowStorage(LinearOperator):
     def tree_flatten(self):
         aux = (
             self._layout, self._schedule, self._backend, self._precision,
-            self._scatter, self._rowptr, self._row_starts, self._col_starts,
-            self._blockrow_starts,
+            self._scatter, self._granularity, self._rowptr, self._row_starts,
+            self._col_starts, self._blockrow_starts,
         )
         return self._buckets, aux
 

@@ -47,6 +47,11 @@ def save(path, op) -> None:
         kind=kind,
         shape=np.asarray(op.shape, dtype=np.int64),
         schedule=np.str_(op.schedule),
+        # Construction settings round-trip exactly (still overridable at load).
+        backend=np.str_(op._backend),
+        precision=np.str_(op._precision if op._precision is not None else "none"),
+        granularity=np.str_(repr(op._granularity)),
+        scatter=np.str_(getattr(op, "_scatter", "atomic")),
     )
     if isinstance(op, SymmetricBlockMatrix):
         _pack_ragged("diag", [op.diagonal(i) for i in range(op.ndiagonals)], meta)
@@ -73,10 +78,20 @@ def save(path, op) -> None:
 def load(path, **overrides):
     """Load an operator saved by :func:`save`.  ``overrides`` are passed to
     the constructor (e.g. ``backend=``, ``granularity=``, ``precision=``)."""
+    import ast
+
     with np.load(path, allow_pickle=False) as data:
         kind = str(data["kind"])
         shape = tuple(int(v) for v in data["shape"])
         kwargs = dict(schedule=str(data["schedule"]))
+        if "backend" in data:  # settings block (absent in round-1 files)
+            kwargs["backend"] = str(data["backend"])
+            prec = str(data["precision"])
+            kwargs["precision"] = None if prec == "none" else prec
+            gran = str(data["granularity"])
+            kwargs["granularity"] = "pow2" if gran == "'pow2'" else ast.literal_eval(gran)
+            if kind != "SymmetricBlockMatrix":
+                kwargs["scatter"] = str(data["scatter"])
         kwargs.update(overrides)
         if kind == "SymmetricBlockMatrix":
             return SymmetricBlockMatrix(

@@ -19,6 +19,8 @@ Backend strings carried by operators:
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -106,8 +108,9 @@ def _bucket_eligible(host_bucket, n_in, n_out, r, interpret: bool, dtype) -> boo
     )
 
 
-def _pallas_apply(vals, rs, cs, x, out_len, *, transpose=False, symmetric=False,
-                  interpret=False, precision=None, start_align=1):
+def _pallas_apply_raw(vals, rs, cs, x, out_len, *, transpose=False,
+                      symmetric=False, interpret=False, precision=None,
+                      start_align=1):
     """Launch the fused kernel, splitting wide RHS into R_SLICE columns."""
     r = 1 if x.ndim == 1 else x.shape[1]
     if r <= R_SLICE:
@@ -124,6 +127,74 @@ def _pallas_apply(vals, rs, cs, x, out_len, *, transpose=False, symmetric=False,
         for lo in range(0, r, R_SLICE)
     ]
     return jnp.concatenate(parts, axis=1)
+
+
+def _gather_rows(mat, starts, extent):
+    m2 = mat[:, None] if mat.ndim == 1 else mat
+    pad = jnp.zeros((extent,) + m2.shape[1:], m2.dtype)
+    m2 = jnp.concatenate([m2, pad], axis=0)
+    idx = starts[:, None] + jnp.arange(extent)[None, :]
+    return m2[idx]  # [nb, extent, r]
+
+
+def _float0_like(a):
+    return np.zeros(a.shape, dtype=jax.dtypes.float0)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _pallas_apply_vjp(vals, rs, cs, x, out_len, transpose, symmetric,
+                      interpret, precision, start_align):
+    return _pallas_apply_raw(vals, rs, cs, x, out_len, transpose=transpose,
+                             symmetric=symmetric, interpret=interpret,
+                             precision=precision, start_align=start_align)
+
+
+def _pallas_vjp_fwd(vals, rs, cs, x, out_len, transpose, symmetric, interpret,
+                    precision, start_align):
+    y = _pallas_apply_raw(vals, rs, cs, x, out_len, transpose=transpose,
+                          symmetric=symmetric, interpret=interpret,
+                          precision=precision, start_align=start_align)
+    return y, (vals, rs, cs, x)
+
+
+def _pallas_vjp_bwd(out_len, transpose, symmetric, interpret, precision,
+                    start_align, res, g):
+    vals, rs, cs, x = res
+    nb, mp, kp = vals.shape
+    n_in = x.shape[0]
+    statics = dict(interpret=interpret, precision=precision,
+                   start_align=start_align)
+    if symmetric:
+        dx = _pallas_apply_raw(vals, rs, cs, g, n_in, transpose=False,
+                               symmetric=True, **statics)
+        gr, xc = _gather_rows(g, rs, mp), _gather_rows(x, cs, kp)
+        xr, gc = _gather_rows(x, rs, mp), _gather_rows(g, cs, kp)
+        dvals = (jnp.einsum("bmr,bkr->bmk", gr, xc)
+                 + jnp.einsum("bmr,bkr->bmk", xr, gc))
+    else:
+        dx = _pallas_apply_raw(vals, rs, cs, g, n_in, transpose=not transpose,
+                               symmetric=False, **statics)
+        out_starts, in_starts = (cs, rs) if transpose else (rs, cs)
+        go = _gather_rows(g, out_starts, kp if transpose else mp)
+        xi = _gather_rows(x, in_starts, mp if transpose else kp)
+        if transpose:
+            dvals = jnp.einsum("bmr,bkr->bmk", xi, go)
+        else:
+            dvals = jnp.einsum("bmr,bkr->bmk", go, xi)
+    return (dvals.astype(vals.dtype), _float0_like(rs), _float0_like(cs),
+            dx.astype(x.dtype))
+
+
+_pallas_apply_vjp.defvjp(_pallas_vjp_fwd, _pallas_vjp_bwd)
+
+
+def _pallas_apply(vals, rs, cs, x, out_len, *, transpose=False, symmetric=False,
+                  interpret=False, precision=None, start_align=1):
+    """`_pallas_apply_raw` wrapped in a custom VJP (pallas_call has no AD
+    rule, so without this `jax.grad` of an auto-dispatched TPU product fails;
+    the cotangents are exact because the operator is linear)."""
+    return _pallas_apply_vjp(vals, rs, cs, x, out_len, transpose, symmetric,
+                             interpret, precision, start_align)
 
 
 def apply_operand(

@@ -110,6 +110,13 @@ class DistributedBlockOperator:
         self.axis = axis
         nshards = mesh.shape[axis]
         blocks, rows, cols, shape = _contributions(op)
+        # Honor the source operator's matmul precision (single-chip formats
+        # default to "highest"; on TPU f32 the default einsum precision is
+        # reduced, so dropping it would silently degrade distributed results).
+        base = op
+        while isinstance(base, (TransposeOperator, AdjointOperator, ConjOperator)):
+            base = base.op
+        self.precision = getattr(base, "_precision", "highest")
         self.shape = shape
         m, n = shape
         layout = build_layout(blocks, rows, cols, shape, granularity=granularity)
@@ -203,7 +210,8 @@ class DistributedBlockOperator:
                 )
                 xg = src_ext[cidx]  # [nbmax, kp, r]
             yp = jnp.einsum(
-                "bmk,bkr->bmr", vals, xg, preferred_element_type=acc_dtype
+                "bmk,bkr->bmr", vals, xg, preferred_element_type=acc_dtype,
+                precision=self.precision,
             )
             if chunk > 1:
                 C = chunk
