@@ -126,8 +126,10 @@ class BlockLayout:
     # blockmatrix.jl:124-160).  Tuples of int32 arrays, one per block.
     rowindices: tuple[np.ndarray, ...]
     colindices: tuple[np.ndarray, ...]
-    # block id -> (bucket index, slot within bucket)
-    block_loc: tuple[tuple[int, int], ...] = ()
+    # block id -> (bucket, slot, row_off, col_off, m, k): where the block's
+    # true (unpadded) data lives inside the bucket tile.  k-merged slots
+    # (see _kmerge) hold several blocks at different col_off.
+    block_loc: tuple[tuple[int, int, int, int, int, int], ...] = ()
     _digest: str = field(default="", compare=False)
 
     def __post_init__(self):
@@ -150,10 +152,18 @@ class BlockLayout:
     # -- accounting ---------------------------------------------------------
     @property
     def nnz(self) -> int:
-        """Logical nnz: sum of unpadded block areas (reference semantics)."""
+        """Logical nnz: sum of unpadded block areas (reference semantics,
+        abstractblockmatrix.jl:65-71) -- computed from the original index
+        lists so it is invariant under bucketing/chunking/merging."""
         return int(
-            sum(int(np.sum(b.true_m.astype(np.int64) * b.true_k)) for b in self.buckets)
+            sum(int(r.size) * int(c.size)
+                for r, c in zip(self.rowindices, self.colindices))
         )
+
+    def block_view(self, i: int):
+        """(bucket, slot, row_off, col_off, m, k) for original block i."""
+        bi, slot, orr, occ, m, k = self.block_loc[i]
+        return self.buckets[bi], slot, orr, occ, m, k
 
     @property
     def padded_nnz(self) -> int:
@@ -172,6 +182,156 @@ def _pad_indices(idx: np.ndarray, padded: int, sentinel: int) -> np.ndarray:
 
 CHUNK_CANDIDATES = (128, 64, 32, 16, 8)
 
+MERGE_CAP = 512  # max k-extent of a merged slot (VMEM / launch-count tradeoff)
+
+
+def _bucket_slot(b: Bucket, j: int, nrows: int) -> dict:
+    """Per-slot arrays of bucket ``b`` slot ``j`` as a pool entry."""
+    return dict(
+        values=b.values[j],
+        row_idx=b.row_idx[j],
+        col_idx=b.col_idx[j],
+        row_chunk_idx=None if b.row_chunk_idx is None else b.row_chunk_idx[j],
+        col_chunk_idx=None if b.col_chunk_idx is None else b.col_chunk_idx[j],
+        row_start=int(b.row_start[j]),
+        col_start=int(b.col_start[j]),
+        row_off=int(b.row_off[j]),
+        col_off=int(b.col_off[j]),
+        true_m=int(b.true_m[j]),
+        true_k=int(b.true_k[j]),
+        block_id=int(b.block_ids[j]),
+    )
+
+
+def _merged_slot(b: Bucket, part: list[int], rs: int, nrows: int) -> dict:
+    """Concatenate bucket ``b`` slots ``part`` (sharing row window ``rs``)
+    along k.  The merged row table covers the whole aligned window with real
+    rows (zero-padded values scatter zeros there, which is harmless and keeps
+    one table for all members)."""
+    mp, kp, C = b.mp, b.kp, int(b.chunk)
+    g = len(part)
+    rows = rs + np.arange(mp, dtype=np.int64)
+    return dict(
+        values=np.concatenate([b.values[j] for j in part], axis=1),
+        row_idx=np.where(rows < nrows, rows, nrows).astype(np.int32),
+        col_idx=np.concatenate([b.col_idx[j] for j in part]),
+        row_chunk_idx=(rs // C + np.arange(mp // C)).astype(np.int32),
+        col_chunk_idx=np.concatenate([b.col_chunk_idx[j] for j in part]),
+        row_start=rs,
+        col_start=-1,
+        row_off=0,
+        col_off=0,
+        true_m=mp,
+        true_k=g * kp,
+        block_id=int(b.block_ids[part[0]]),
+    )
+
+
+def _kmerge(buckets: list[Bucket], nrows: int, cap: int = MERGE_CAP):
+    """k-merge stage (round-2 perf): concatenate blocks sharing an output
+    row window.
+
+    Within a chunked bucket, blocks whose aligned row windows coincide are
+    concatenated along k in power-of-two groups (exact binary decomposition:
+    a window with q blocks becomes groups of sizes from q's binary digits --
+    no zero-block padding, so ``padded_nnz`` is unchanged).  A merged slot
+    streams lane-dense (minor dim g*kp reaches the 128-lane vreg width where
+    kp alone was below it, halving physical HBM traffic for kp=64), needs one
+    output scatter instead of g, and g-fold fewer row indices.  Column
+    contiguity is traded away: merged slots carry per-chunk column tables
+    (col_chunk_idx / element col_idx concatenations) and col_start=-1, which
+    every engine already consumes.
+
+    Returns (new_buckets, loc) where loc maps original block id ->
+    (bucket, slot, row_off, col_off, m, k).
+    """
+    pools: dict[tuple[int, int, int], list] = {}
+    order: list[tuple[int, int, int]] = []
+    loc_by_key: dict[int, tuple] = {}
+
+    def pool_add(key, slot) -> int:
+        if key not in pools:
+            pools[key] = []
+            order.append(key)
+        pools[key].append(slot)
+        return len(pools[key]) - 1
+
+    def add_single(b, j):
+        key = (b.mp, b.kp, int(b.chunk))
+        sidx = pool_add(key, _bucket_slot(b, j, nrows))
+        loc_by_key[int(b.block_ids[j])] = (
+            key, sidx, int(b.row_off[j]), int(b.col_off[j]),
+            int(b.true_m[j]), int(b.true_k[j]),
+        )
+
+    for b in buckets:
+        nb = b.nblocks
+        C = int(b.chunk)
+        groups: dict[int, list[int]] = {}
+        if C > 1 and b.all_contiguous and nb > 1:
+            for j in range(nb):
+                groups.setdefault(int(b.row_start[j]), []).append(j)
+        if not any(len(g) > 1 for g in groups.values()):
+            for j in range(nb):
+                add_single(b, j)
+            continue
+        gmax = max(1, cap // b.kp)
+        gmax = 1 << (gmax.bit_length() - 1)  # floor to power of two
+        for rs, members in groups.items():
+            pos = 0
+            while pos < len(members):
+                rem = len(members) - pos
+                g = min(gmax, 1 << (rem.bit_length() - 1))
+                part = members[pos : pos + g]
+                pos += g
+                if g == 1:
+                    add_single(b, part[0])
+                    continue
+                key = (b.mp, g * b.kp, C)
+                sidx = pool_add(key, _merged_slot(b, part, rs, nrows))
+                for jj, j in enumerate(part):
+                    loc_by_key[int(b.block_ids[j])] = (
+                        key, sidx, int(b.row_off[j]),
+                        jj * b.kp + int(b.col_off[j]),
+                        int(b.true_m[j]), int(b.true_k[j]),
+                    )
+
+    new_buckets = []
+    key_to_bi = {}
+    for key in sorted(order):
+        mp, kp, C = key
+        slots = pools[key]
+        key_to_bi[key] = len(new_buckets)
+        chunked = C > 1
+        new_buckets.append(
+            Bucket(
+                mp=mp,
+                kp=kp,
+                values=np.stack([s["values"] for s in slots]),
+                row_idx=np.stack([s["row_idx"] for s in slots]),
+                col_idx=np.stack([s["col_idx"] for s in slots]),
+                block_ids=np.asarray([s["block_id"] for s in slots], np.int32),
+                true_m=np.asarray([s["true_m"] for s in slots], np.int32),
+                true_k=np.asarray([s["true_k"] for s in slots], np.int32),
+                row_start=np.asarray([s["row_start"] for s in slots], np.int32),
+                col_start=np.asarray([s["col_start"] for s in slots], np.int32),
+                row_off=np.asarray([s["row_off"] for s in slots], np.int32),
+                col_off=np.asarray([s["col_off"] for s in slots], np.int32),
+                chunk=C,
+                row_chunk_idx=(
+                    np.stack([s["row_chunk_idx"] for s in slots]) if chunked else None
+                ),
+                col_chunk_idx=(
+                    np.stack([s["col_chunk_idx"] for s in slots]) if chunked else None
+                ),
+            )
+        )
+    loc = {
+        bid: (key_to_bi[key], sidx, orr, occ, m, k)
+        for bid, (key, sidx, orr, occ, m, k) in loc_by_key.items()
+    }
+    return new_buckets, loc
+
 
 def build_layout(
     blocks: Sequence[np.ndarray],
@@ -181,6 +341,7 @@ def build_layout(
     *,
     granularity: tuple[int, int] = (1, 1),
     chunk="auto",
+    merge: bool = True,
     dtype=None,
 ) -> BlockLayout:
     """Bucket ``blocks`` by padded shape and build SoA index tables.
@@ -203,6 +364,10 @@ def build_layout(
     block dims), and stores blocks offset-shifted so gather/scatter run at
     C-element chunk granularity (see Bucket docstring).  Pass 1 to disable,
     or an int to force C.
+
+    merge: apply the k-merge stage (see _kmerge) -- blocks sharing an output
+    row window are concatenated along k for lane-dense streaming and fewer
+    scatters.  True by default; pass False for strictly per-block buckets.
     """
     nrows, ncols = map(int, shape)
     n = len(blocks)
@@ -350,10 +515,17 @@ def build_layout(
             )
         )
 
-    loc = [(0, 0)] * n
-    for bi, b in enumerate(buckets):
-        for slot, i in enumerate(b.block_ids):
-            loc[int(i)] = (bi, slot)
+    if merge:
+        buckets, loc_map = _kmerge(buckets, nrows)
+        loc = [loc_map[i] for i in range(n)]
+    else:
+        loc = [(0, 0, 0, 0, 0, 0)] * n
+        for bi, b in enumerate(buckets):
+            for slot, i in enumerate(b.block_ids):
+                loc[int(i)] = (
+                    bi, slot, int(b.row_off[slot]), int(b.col_off[slot]),
+                    int(b.true_m[slot]), int(b.true_k[slot]),
+                )
 
     return BlockLayout(
         nrows=nrows,

@@ -141,10 +141,7 @@ class BlockSparseMatrix(LinearOperator):
         Reads the host-side layout copy (construction values): no device
         fetch, which also keeps conversions working on backends that cannot
         transfer the dtype (e.g. complex on the tunneled TPU)."""
-        bi, slot = self._layout.block_loc[i]
-        b = self._layout.buckets[bi]
-        m, k = int(b.true_m[slot]), int(b.true_k[slot])
-        orr, occ = int(b.row_off[slot]), int(b.col_off[slot])
+        b, slot, orr, occ, m, k = self._layout.block_view(i)
         return np.asarray(b.values[slot, orr : orr + m, occ : occ + k])
 
     def blockrowindices(self, i: int) -> np.ndarray:

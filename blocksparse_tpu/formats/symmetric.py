@@ -161,18 +161,12 @@ class SymmetricBlockMatrix(LinearOperator):
 
     # -- reference API parity ----------------------------------------------
     def diagonal(self, i: int) -> np.ndarray:
-        bi, slot = self._dlayout.block_loc[i]
-        b = self._dlayout.buckets[bi]
-        m, k = int(b.true_m[slot]), int(b.true_k[slot])
-        orr, occ = int(b.row_off[slot]), int(b.col_off[slot])
+        b, slot, orr, occ, m, k = self._dlayout.block_view(i)
         # host-side copy: no device fetch (see BlockSparseMatrix.block)
         return np.asarray(b.values[slot, orr : orr + m, occ : occ + k])
 
     def offdiagonal(self, i: int) -> np.ndarray:
-        bi, slot = self._olayout.block_loc[i]
-        b = self._olayout.buckets[bi]
-        m, k = int(b.true_m[slot]), int(b.true_k[slot])
-        orr, occ = int(b.row_off[slot]), int(b.col_off[slot])
+        b, slot, orr, occ, m, k = self._olayout.block_view(i)
         # host-side copy: no device fetch (see BlockSparseMatrix.block)
         return np.asarray(b.values[slot, orr : orr + m, occ : occ + k])
 

@@ -221,10 +221,7 @@ class VariableBlockCompressedRowStorage(LinearOperator):
         return range(self.nblocks)
 
     def block(self, i: int) -> np.ndarray:
-        bi, slot = self._layout.block_loc[i]
-        b = self._layout.buckets[bi]
-        m, k = int(b.true_m[slot]), int(b.true_k[slot])
-        orr, occ = int(b.row_off[slot]), int(b.col_off[slot])
+        b, slot, orr, occ, m, k = self._layout.block_view(i)
         # host-side copy: no device fetch (see BlockSparseMatrix.block)
         return np.asarray(b.values[slot, orr : orr + m, occ : occ + k])
 

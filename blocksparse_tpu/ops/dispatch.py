@@ -25,14 +25,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .pallas.fused_spmm import choose_config, contiguous_block_apply
+from .pallas.fused_spmm import choose_config, chunked_block_apply
 from .xla_spmv import bucket_apply, chunked_bucket_apply
 
 
 def _xla_engine(dev_buckets, host_buckets, out_len, x, *, transpose, conj,
-                precision, scatter):
+                precision, scatter, symmetric=False):
     """Non-pallas path: chunk-granular engine for chunked buckets, element
-    engine (optionally sorted-scatter) for the rest."""
+    engine (optionally sorted-scatter) for the rest.
+
+    ``symmetric=True`` emits each bucket's forward AND transposed
+    contribution from one read of its values (the one-read fused pass)."""
     y = None
     elem_dev, elem_host = [], []
     for hb, (vals, ridx, cidx) in zip(host_buckets, dev_buckets):
@@ -44,6 +47,7 @@ def _xla_engine(dev_buckets, host_buckets, out_len, x, *, transpose, conj,
                 transpose=transpose, conj=conj, precision=precision,
                 row_chunk_max=int(hb.row_chunk_idx.max()),
                 col_chunk_max=int(hb.col_chunk_idx.max()),
+                symmetric=symmetric,
             )
             y = part if y is None else y + part
         else:
@@ -52,12 +56,12 @@ def _xla_engine(dev_buckets, host_buckets, out_len, x, *, transpose, conj,
     if elem_dev:
         sinfo = (
             _sorted_scatter_info(elem_host, transpose)
-            if scatter == "sorted"
+            if scatter == "sorted" and not symmetric
             else None
         )
         part = bucket_apply(
             elem_dev, out_len, x, transpose=transpose, conj=conj,
-            precision=precision, scatter_info=sinfo,
+            precision=precision, scatter_info=sinfo, symmetric=symmetric,
         )
         y = part if y is None else y + part
     return y
@@ -86,7 +90,9 @@ R_SLICE = 128  # RHS columns per Pallas launch for wide SpMM
 
 
 def _bucket_eligible(host_bucket, n_in, n_out, r, interpret: bool, dtype) -> bool:
-    if not host_bucket.all_contiguous:
+    # the kernel is chunk-table driven: any chunked bucket qualifies
+    # (contiguous ranges, k-merged concatenations, chunk-scattered alike)
+    if host_bucket.chunk <= 1:
         return False
     if np.issubdtype(np.dtype(dtype), np.complexfloating):
         return False
@@ -108,93 +114,95 @@ def _bucket_eligible(host_bucket, n_in, n_out, r, interpret: bool, dtype) -> boo
     )
 
 
-def _pallas_apply_raw(vals, rs, cs, x, out_len, *, transpose=False,
-                      symmetric=False, interpret=False, precision=None,
-                      start_align=1):
+def _pallas_apply_raw(vals, rc, cc, chunk, x, out_len, *, transpose=False,
+                      symmetric=False, interpret=False, precision=None):
     """Launch the fused kernel, splitting wide RHS into R_SLICE columns."""
     r = 1 if x.ndim == 1 else x.shape[1]
     if r <= R_SLICE:
-        return contiguous_block_apply(
-            vals, rs, cs, x, out_len, transpose=transpose, symmetric=symmetric,
-            interpret=interpret, precision=precision, start_align=start_align,
+        return chunked_block_apply(
+            vals, rc, cc, chunk, x, out_len, transpose=transpose,
+            symmetric=symmetric, interpret=interpret, precision=precision,
         )
     parts = [
-        contiguous_block_apply(
-            vals, rs, cs, x[:, lo : lo + R_SLICE], out_len,
+        chunked_block_apply(
+            vals, rc, cc, chunk, x[:, lo : lo + R_SLICE], out_len,
             transpose=transpose, symmetric=symmetric, interpret=interpret,
-            precision=precision, start_align=start_align,
+            precision=precision,
         )
         for lo in range(0, r, R_SLICE)
     ]
     return jnp.concatenate(parts, axis=1)
 
 
-def _gather_rows(mat, starts, extent):
+def _gather_chunks(mat, chunk_idx, C):
+    """Gather C-row chunks: [n(, r)] + [nb, e//C] -> [nb, e, r]."""
     m2 = mat[:, None] if mat.ndim == 1 else mat
-    pad = jnp.zeros((extent,) + m2.shape[1:], m2.dtype)
-    m2 = jnp.concatenate([m2, pad], axis=0)
-    idx = starts[:, None] + jnp.arange(extent)[None, :]
-    return m2[idx]  # [nb, extent, r]
+    n, r = m2.shape
+    pad = -n % C
+    if pad:
+        m2 = jnp.pad(m2, ((0, pad), (0, 0)))
+    m2 = m2.reshape(-1, C, r)
+    nb, ec = chunk_idx.shape
+    return m2[chunk_idx].reshape(nb, ec * C, r)
 
 
 def _float0_like(a):
     return np.zeros(a.shape, dtype=jax.dtypes.float0)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
-def _pallas_apply_vjp(vals, rs, cs, x, out_len, transpose, symmetric,
-                      interpret, precision, start_align):
-    return _pallas_apply_raw(vals, rs, cs, x, out_len, transpose=transpose,
-                             symmetric=symmetric, interpret=interpret,
-                             precision=precision, start_align=start_align)
+@partial(jax.custom_vjp, nondiff_argnums=(3, 5, 6, 7, 8, 9))
+def _pallas_apply_vjp(vals, rc, cc, chunk, x, out_len, transpose, symmetric,
+                      interpret, precision):
+    return _pallas_apply_raw(vals, rc, cc, chunk, x, out_len,
+                             transpose=transpose, symmetric=symmetric,
+                             interpret=interpret, precision=precision)
 
 
-def _pallas_vjp_fwd(vals, rs, cs, x, out_len, transpose, symmetric, interpret,
-                    precision, start_align):
-    y = _pallas_apply_raw(vals, rs, cs, x, out_len, transpose=transpose,
+def _pallas_vjp_fwd(vals, rc, cc, chunk, x, out_len, transpose, symmetric,
+                    interpret, precision):
+    y = _pallas_apply_raw(vals, rc, cc, chunk, x, out_len, transpose=transpose,
                           symmetric=symmetric, interpret=interpret,
-                          precision=precision, start_align=start_align)
-    return y, (vals, rs, cs, x)
+                          precision=precision)
+    return y, (vals, rc, cc, x)
 
 
-def _pallas_vjp_bwd(out_len, transpose, symmetric, interpret, precision,
-                    start_align, res, g):
-    vals, rs, cs, x = res
-    nb, mp, kp = vals.shape
+def _pallas_vjp_bwd(chunk, out_len, transpose, symmetric, interpret, precision,
+                    res, g):
+    vals, rc, cc, x = res
     n_in = x.shape[0]
-    statics = dict(interpret=interpret, precision=precision,
-                   start_align=start_align)
+    statics = dict(interpret=interpret, precision=precision)
     if symmetric:
-        dx = _pallas_apply_raw(vals, rs, cs, g, n_in, transpose=False,
+        dx = _pallas_apply_raw(vals, rc, cc, chunk, g, n_in, transpose=False,
                                symmetric=True, **statics)
-        gr, xc = _gather_rows(g, rs, mp), _gather_rows(x, cs, kp)
-        xr, gc = _gather_rows(x, rs, mp), _gather_rows(g, cs, kp)
+        gr, xc = _gather_chunks(g, rc, chunk), _gather_chunks(x, cc, chunk)
+        xr, gc = _gather_chunks(x, rc, chunk), _gather_chunks(g, cc, chunk)
         dvals = (jnp.einsum("bmr,bkr->bmk", gr, xc)
                  + jnp.einsum("bmr,bkr->bmk", xr, gc))
     else:
-        dx = _pallas_apply_raw(vals, rs, cs, g, n_in, transpose=not transpose,
-                               symmetric=False, **statics)
-        out_starts, in_starts = (cs, rs) if transpose else (rs, cs)
-        go = _gather_rows(g, out_starts, kp if transpose else mp)
-        xi = _gather_rows(x, in_starts, mp if transpose else kp)
+        dx = _pallas_apply_raw(vals, rc, cc, chunk, g, n_in,
+                               transpose=not transpose, symmetric=False,
+                               **statics)
+        out_tab, in_tab = (cc, rc) if transpose else (rc, cc)
+        go = _gather_chunks(g, out_tab, chunk)
+        xi = _gather_chunks(x, in_tab, chunk)
         if transpose:
             dvals = jnp.einsum("bmr,bkr->bmk", xi, go)
         else:
             dvals = jnp.einsum("bmr,bkr->bmk", go, xi)
-    return (dvals.astype(vals.dtype), _float0_like(rs), _float0_like(cs),
+    return (dvals.astype(vals.dtype), _float0_like(rc), _float0_like(cc),
             dx.astype(x.dtype))
 
 
 _pallas_apply_vjp.defvjp(_pallas_vjp_fwd, _pallas_vjp_bwd)
 
 
-def _pallas_apply(vals, rs, cs, x, out_len, *, transpose=False, symmetric=False,
-                  interpret=False, precision=None, start_align=1):
+def _pallas_apply(vals, rc, cc, chunk, x, out_len, *, transpose=False,
+                  symmetric=False, interpret=False, precision=None):
     """`_pallas_apply_raw` wrapped in a custom VJP (pallas_call has no AD
     rule, so without this `jax.grad` of an auto-dispatched TPU product fails;
     the cotangents are exact because the operator is linear)."""
-    return _pallas_apply_vjp(vals, rs, cs, x, out_len, transpose, symmetric,
-                             interpret, precision, start_align)
+    return _pallas_apply_vjp(vals, rc, cc, chunk, x, out_len, transpose,
+                             symmetric, interpret, precision)
 
 
 def apply_operand(
@@ -240,20 +248,20 @@ def apply_operand(
     xla_hosts = []
     for host_b, (vals, ridx, cidx) in zip(layout.buckets, dev_buckets):
         if _bucket_eligible(host_b, n_in, out_len, r, interpret, dtype):
-            rs = jnp.asarray(host_b.row_start, dtype=jnp.int32)
-            cs = jnp.asarray(host_b.col_start, dtype=jnp.int32)
-            pallas_parts.append((vals, rs, cs, host_b.chunk))
+            rc = jnp.asarray(host_b.row_chunk_idx, dtype=jnp.int32)
+            cc = jnp.asarray(host_b.col_chunk_idx, dtype=jnp.int32)
+            pallas_parts.append((vals, rc, cc, host_b.chunk))
         else:
             xla_buckets.append((vals, ridx, cidx))
             xla_hosts.append(host_b)
     # route non-pallas buckets through the chunk-aware engine
 
     y = None
-    for vals, rs, cs, align in pallas_parts:
+    for vals, rc, cc, chunk in pallas_parts:
         # conj is a no-op for the real dtypes this path admits
         part = _pallas_apply(
-            vals, rs, cs, x, out_len, transpose=transpose, interpret=interpret,
-            precision=precision, start_align=align,
+            vals, rc, cc, chunk, x, out_len, transpose=transpose,
+            interpret=interpret, precision=precision,
         )
         y = part if y is None else y + part
     if xla_buckets:
@@ -307,24 +315,23 @@ def apply_symmetric(
     xla_off_hosts = []
     for host_b, (vals, ridx, cidx) in zip(off_layout.buckets, off_buckets):
         if fused_ok and _bucket_eligible(host_b, x.shape[0], n, r, interpret, dtype):
-            rs = jnp.asarray(host_b.row_start, dtype=jnp.int32)
-            cs = jnp.asarray(host_b.col_start, dtype=jnp.int32)
+            rc = jnp.asarray(host_b.row_chunk_idx, dtype=jnp.int32)
+            cc = jnp.asarray(host_b.col_chunk_idx, dtype=jnp.int32)
             part = _pallas_apply(
-                vals, rs, cs, x, n, symmetric=True, interpret=interpret,
-                precision=precision, start_align=host_b.chunk,
+                vals, rc, cc, host_b.chunk, x, n, symmetric=True,
+                interpret=interpret, precision=precision,
             )
             y = part if y is None else y + part
         else:
             xla_off.append((vals, ridx, cidx))
             xla_off_hosts.append(host_b)
     if xla_off:
+        # One-read fused pass: both contributions per stored block from a
+        # single values traversal (vs the reference's two passes,
+        # symmetricblockmatrix.jl:394-418).
         part = _xla_engine(
             xla_off, xla_off_hosts, n, x, transpose=False, conj=conj,
-            precision=precision, scatter="atomic",
-        )
-        part = part + _xla_engine(
-            xla_off, xla_off_hosts, n, x, transpose=True, conj=conj,
-            precision=precision, scatter="atomic",
+            precision=precision, scatter="atomic", symmetric=True,
         )
         y = part if y is None else y + part
 

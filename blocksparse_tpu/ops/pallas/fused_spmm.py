@@ -1,4 +1,4 @@
-"""Fused Pallas TPU kernel: contiguous-range block SpMV / SpMM.
+"""Fused Pallas TPU kernel: chunk-granular block SpMV / SpMM.
 
 This is the framework's native compute engine -- the role BLAS ``gemv``/
 ``gemm`` plays in the reference's hot loop (blockmatrix.jl:236-242,
@@ -7,25 +7,33 @@ vbcrs.jl:278-284), redesigned for the TPU memory hierarchy:
   - block values stream HBM -> VMEM through the automatic Pallas pipeline
     (double-buffered DMA), batched ``block_batch`` blocks per grid step so
     per-step overhead amortizes at SpMV bandwidth;
-  - x lives in VMEM; each block reads ``x[col_start : col_start+kp]`` with a
-    dynamic slice (contiguous ranges = no gather tables -- the VBCRS
-    fast-path property, docs/src/vbcrs.md:311, made literal);
-  - each block issues one MXU contraction ``[mp,kp] @ [kp,TR]``;
-  - results accumulate into a VMEM-resident y block (revisited output:
-    constant index_map keeps it on-chip for the whole grid), scattered with
-    a dynamic-slice read-modify-write at ``row_start`` -- race-free because
-    the block grid dimension is sequential ("arbitrary" semantics) on TPU;
+  - x lives in VMEM; gather and scatter run at **chunk granularity**: SMEM
+    index tables (scalar prefetch) hold each block's C-aligned chunk
+    positions, and the kernel issues one dynamic slice per chunk.  This
+    serves contiguous ranges (one chunk after another), k-merged slots
+    (concatenations of ranges -- core/layout.py _kmerge), and arbitrary
+    chunk-scattered blocks with the same code;
+  - each (block, in-chunk) pair issues one MXU contraction
+    ``[mp, C] @ [C, TR]`` accumulated over in-chunks;
+  - results accumulate into a VMEM-resident y panel (revisited output:
+    constant index_map keeps it on-chip for the whole grid), read-modify-
+    written per out-chunk -- race-free because the block grid dimension is
+    sequential ("arbitrary" semantics) on TPU;
   - multi-RHS is tiled over ``r_tile`` columns in the outer grid dimension
     (the reference has no SpMM kernel at all -- LinearMaps falls back to
     column-wise products; this is where the MXU pays off).
 
-Transposed products swap the roles of row_start/col_start and contract over
-the block's row axis instead -- a flag flip, no data movement (and it
+Transposed products swap the roles of the row/col chunk tables and contract
+over the block's row axis instead -- a flag flip, no data movement (and it
 parallelizes the transpose path the reference left serial, vbcrs.jl:303-329).
+``symmetric=True`` adds each block's mirrored (transposed) contribution in
+the same pass -- one HBM read per stored block feeding two MXU contractions,
+where the reference reads every off-diagonal block twice
+(symmetricblockmatrix.jl:394-418).
 
-Constraints of this v1 kernel (callers fall back to the XLA path otherwise,
-see ops/xla_spmv.py): contiguous index ranges, real dtypes, and x/y panels
-that fit VMEM (~<= 6 MB each).
+Constraints of this kernel (callers fall back to the XLA path otherwise,
+see ops/xla_spmv.py): chunked buckets (chunk > 1), real dtypes, and x/y
+panels that fit VMEM (~<= 6 MB each).
 """
 
 from __future__ import annotations
@@ -37,7 +45,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["contiguous_block_apply", "choose_config"]
+__all__ = ["chunked_block_apply", "choose_config"]
 
 
 def _cdiv(a, b):
@@ -50,8 +58,8 @@ def _round_up(a, b):
 
 def _kernel(
     # scalar prefetch
-    out_start_ref,  # [nb] int32: y scatter starts
-    in_start_ref,  # [nb] int32: x gather starts
+    out_chunk_ref,  # [nb, sc] int32: y scatter chunk indices
+    in_chunk_ref,  # [nb, gc] int32: x gather chunk indices
     # inputs
     x_ref,  # [Npad, TR] VMEM
     vals_ref,  # [BB, mp, kp] VMEM (one batch of blocks)
@@ -62,11 +70,11 @@ def _kernel(
     block_batch: int,
     mp: int,
     kp: int,
+    chunk: int,
     transpose: bool,
     symmetric: bool,
     acc_dtype,
     precision,
-    start_align: int,
 ):
     step = pl.program_id(1)
 
@@ -74,51 +82,59 @@ def _kernel(
     def _init():
         out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
-    out_extent = mp if not transpose else kp
-    in_extent = kp if not transpose else mp
+    C = chunk
+    mpc, kpc = mp // C, kp // C
+
+    def x_chunk(table_ref, b, j):
+        start = pl.multiple_of(table_ref[b, j] * C, C)
+        return x_ref[pl.ds(start, C), :]  # [C, TR]
+
+    def out_rmw(table_ref, b, j, part):
+        start = pl.multiple_of(table_ref[b, j] * C, C)
+        out_ref[pl.ds(start, C), :] += part
 
     def body(i, _):
         b = step * block_batch + i
 
         @pl.when(b < nb)
         def _():
-            ins = in_start_ref[b]
-            outs = out_start_ref[b]
-            if start_align > 1:
-                # chunked layouts guarantee C-aligned starts; the hint lets
-                # Mosaic prove sublane alignment (required for bf16 tiles,
-                # faster slicing for f32)
-                ins = pl.multiple_of(ins, start_align)
-                outs = pl.multiple_of(outs, start_align)
-            xg = x_ref[pl.ds(ins, in_extent), :]  # [in_extent, TR]
             blk = vals_ref[i]  # [mp, kp]
-            if transpose:
-                # blk^T @ xg : contract over the row axis (dim 0 of blk)
-                y = jax.lax.dot_general(
-                    blk, xg, (((0,), (0,)), ((), ())),
-                    preferred_element_type=acc_dtype, precision=precision,
-                )  # [kp, TR]
+            if not transpose:
+                # y[rows] += B @ x[cols] : accumulate over col chunks
+                y = jnp.zeros((mp, x_ref.shape[1]), acc_dtype)
+                for j in range(kpc):
+                    y += jax.lax.dot_general(
+                        blk[:, j * C : (j + 1) * C], x_chunk(in_chunk_ref, b, j),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=acc_dtype, precision=precision,
+                    )
+                for j in range(mpc):
+                    out_rmw(out_chunk_ref, b, j, y[j * C : (j + 1) * C, :])
             else:
-                y = jax.lax.dot_general(
-                    blk, xg, (((1,), (0,)), ((), ())),
-                    preferred_element_type=acc_dtype, precision=precision,
-                )  # [mp, TR]
-            cur = out_ref[pl.ds(outs, out_extent), :]
-            out_ref[pl.ds(outs, out_extent), :] = cur + y
+                # y[cols] += B^T @ x[rows] : contract over the row axis
+                y = jnp.zeros((kp, x_ref.shape[1]), acc_dtype)
+                for j in range(mpc):
+                    y += jax.lax.dot_general(
+                        blk[j * C : (j + 1) * C, :], x_chunk(in_chunk_ref, b, j),
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=acc_dtype, precision=precision,
+                    )
+                for j in range(kpc):
+                    out_rmw(out_chunk_ref, b, j, y[j * C : (j + 1) * C, :])
 
             if symmetric:
-                # Fused mirrored contribution: same block read feeds the
-                # transposed product (the reference reads each off-diagonal
-                # block twice, symmetricblockmatrix.jl:394-418; here it is
-                # read once).  Grid steps are sequential, so the second
-                # scatter is race-free by construction.
-                xr = x_ref[pl.ds(outs, mp), :]  # rows gather
-                yt = jax.lax.dot_general(
-                    blk, xr, (((0,), (0,)), ((), ())),
-                    preferred_element_type=acc_dtype, precision=precision,
-                )  # [kp, TR]
-                curt = out_ref[pl.ds(ins, kp), :]
-                out_ref[pl.ds(ins, kp), :] = curt + yt
+                # Fused mirrored contribution from the same block read:
+                # y[cols] += B^T @ x[rows].  Grid steps are sequential, so
+                # the second scatter is race-free by construction.
+                yt = jnp.zeros((kp, x_ref.shape[1]), acc_dtype)
+                for j in range(mpc):
+                    yt += jax.lax.dot_general(
+                        blk[j * C : (j + 1) * C, :], x_chunk(out_chunk_ref, b, j),
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=acc_dtype, precision=precision,
+                    )
+                for j in range(kpc):
+                    out_rmw(in_chunk_ref, b, j, yt[j * C : (j + 1) * C, :])
 
         return 0
 
@@ -133,7 +149,7 @@ def _vmem_bytes(n_in: int, n_out: int, r_tile: int, mp: int, kp: int,
     # Mosaic double-buffers the revisited output block too when the RHS-tile
     # grid has more than one step (its index_map then depends on j)
     y_bytes = (n_out + max(mp, kp)) * lanes * itemsize * (2 if multi_rtile else 1)
-    v_bytes = 2 * block_batch * mp * kp * itemsize
+    v_bytes = 2 * block_batch * mp * _round_up(kp, 128) * itemsize
     return x_bytes + y_bytes + v_bytes
 
 
@@ -167,20 +183,18 @@ def choose_config(n_in: int, n_out: int, mp: int, kp: int, r: int,
             return None
 
 
-
-
-
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "out_len", "transpose", "symmetric", "interpret", "r_tile",
-        "block_batch", "precision", "start_align",
+        "chunk", "out_len", "transpose", "symmetric", "interpret", "r_tile",
+        "block_batch", "precision",
     ),
 )
-def contiguous_block_apply(
+def chunked_block_apply(
     vals,  # [nb, mp, kp]
-    row_start,  # [nb] int32 (global output row starts in forward mode)
-    col_start,  # [nb] int32
+    row_chunk,  # [nb, mp // chunk] int32 (output row chunks in forward mode)
+    col_chunk,  # [nb, kp // chunk] int32
+    chunk: int,
     x,  # [n_in] or [n_in, r]
     out_len: int,
     *,
@@ -190,18 +204,20 @@ def contiguous_block_apply(
     r_tile: int | None = None,
     block_batch: int | None = None,
     precision=None,
-    start_align: int = 1,
 ):
-    """Fused contiguous-block product: returns [out_len] or [out_len, r].
+    """Fused chunk-granular block product: returns [out_len] or [out_len, r].
 
     ``symmetric=True`` adds each block's mirrored (transposed) contribution
-    in the same pass: y[rs:rs+mp] += B @ x[cs:cs+kp] AND
-    y[cs:cs+kp] += B^T @ x[rs:rs+mp] -- one HBM read per stored block
-    (requires a square operand; ``transpose`` must be False).
+    in the same pass: y[rows] += B @ x[cols] AND y[cols] += B^T @ x[rows] --
+    one HBM read per stored block (requires a square operand;
+    ``transpose`` must be False).
     """
     if symmetric and transpose:
-        raise ValueError("symmetric fused pass is transpose-invariant; use transpose=False")
+        raise ValueError(
+            "symmetric fused pass is transpose-invariant; use transpose=False"
+        )
     nb, mp, kp = vals.shape
+    C = int(chunk)
     vec = x.ndim == 1
     xm = x[:, None] if vec else x
     n_in, r = xm.shape
@@ -212,7 +228,7 @@ def contiguous_block_apply(
         cfg = choose_config(n_in, out_len, mp, kp, r, nb)
         if cfg is None:
             raise ValueError(
-                "contiguous_block_apply: panels exceed the VMEM budget "
+                "chunked_block_apply: panels exceed the VMEM budget "
                 "(dispatch should have routed this bucket to the XLA engine)"
             )
         if r_tile is None:
@@ -221,15 +237,15 @@ def contiguous_block_apply(
             block_batch = cfg[1]
     r_pad = _round_up(r, r_tile)
 
-    out_start = row_start if not transpose else col_start
-    in_start = col_start if not transpose else row_start
+    out_chunk = row_chunk if not transpose else col_chunk
+    in_chunk = col_chunk if not transpose else row_chunk
     in_extent = kp if not transpose else mp
     out_extent = mp if not transpose else kp
     # buffer safety padding; in symmetric mode both extents touch both buffers
     in_pad = max(mp, kp) if symmetric else in_extent
     out_pad = max(mp, kp) if symmetric else out_extent
 
-    # pad x rows so ins+extent never leaves the buffer; pad r to r_tile
+    # pad x rows so chunk windows never leave the buffer; pad r to r_tile
     xm = jnp.pad(xm, ((0, in_pad), (0, r_pad - r)))
     if vals.dtype in (jnp.bfloat16, jnp.float16):
         xm = xm.astype(vals.dtype)  # keep both MXU operands low-precision
@@ -264,14 +280,14 @@ def contiguous_block_apply(
         block_batch=block_batch,
         mp=mp,
         kp=kp,
+        chunk=C,
         transpose=transpose,
         symmetric=symmetric,
         acc_dtype=acc_dtype,
         precision=jax.lax.Precision(precision) if precision else None,
-        start_align=start_align,
     )
 
-    flops = 2 * nb * mp * kp * r_pad
+    flops = 2 * nb * mp * kp * r_pad * (2 if symmetric else 1)
     bytes_accessed = (
         vals.size * vals.dtype.itemsize + xm.size * xm.dtype.itemsize
         + out_rows * r_pad * 4
@@ -287,7 +303,7 @@ def contiguous_block_apply(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
         interpret=interpret,
-    )(out_start.astype(jnp.int32), in_start.astype(jnp.int32), xm, vals)
+    )(out_chunk.astype(jnp.int32), in_chunk.astype(jnp.int32), xm, vals)
 
     y = y[:out_len, :r]
     return y[:, 0] if vec else y

@@ -33,16 +33,38 @@ def _round_up(a: int, b: int) -> int:
 
 
 def _block_contract(spec, v, xg, r, transpose, acc_dtype, precision):
-    """Per-block contraction.  For r == 1 (SpMV) use a VPU multiply+reduce:
-    it is exact in f32 regardless of MXU precision mode and avoids the slow
-    high-precision batched-matvec lowering (measured: 'highest' einsum costs
-    ~13% SpMV bandwidth; this path costs none)."""
-    if r == 1:
+    """Per-block contraction.
+
+    r == 1 (SpMV) routing (re-measured round 2, benchmarks/proto_contract.py):
+    with ``precision`` set (the format default is "highest"), the einsum
+    lowering streams k-merged lane-dense buckets at full rate (2.2 us for a
+    4.7 MB operand vs ~10 us for every alternative), so it is used whenever
+    a precision is requested.  The VPU multiply+reduce -- exact in f32
+    regardless of MXU precision mode -- remains the fallback for
+    ``precision=None``, where a default-precision einsum would drop to bf16
+    passes (both slower and less accurate here)."""
+    if r == 1 and precision is None:
         x1 = xg[..., 0].astype(acc_dtype)
         vv = v.astype(acc_dtype) if v.dtype != acc_dtype else v
         if transpose:
             return jnp.sum(vv * x1[:, :, None], axis=1)[..., None]
         return jnp.sum(vv * x1[:, None, :], axis=-1)[..., None]
+    if r == 1:
+        x1 = xg[..., 0]
+        if transpose:
+            # x-first orientation: contraction runs over v's sublane dim in
+            # the standard GEMM layout ([1,m] @ [m,k]) -- no transposition
+            # of the streamed block values
+            y = jnp.einsum(
+                "bm,bmk->bk", x1, v, preferred_element_type=acc_dtype,
+                precision=precision,
+            )
+        else:
+            y = jnp.einsum(
+                "bmk,bk->bm", v, x1, preferred_element_type=acc_dtype,
+                precision=precision,
+            )
+        return y[..., None]
     return jnp.einsum(
         spec, v, xg, preferred_element_type=acc_dtype, precision=precision
     )
@@ -67,6 +89,7 @@ def bucket_apply(
     acc_dtype=None,
     precision=None,
     scatter_info=None,
+    symmetric: bool = False,
 ):
     """Apply a bucketed block-sparse operand to ``x`` ([n] or [n, r]).
 
@@ -83,6 +106,13 @@ def bucket_apply(
     contributions are permuted into target order and reduced with
     ``segment_sum(indices_are_sorted=True)``, which lowers to a fast
     sequential reduction on TPU instead of a random-index scatter.
+
+    ``symmetric``: emit BOTH the forward and the transposed contribution of
+    every block from ONE read of its values (the fused one-read pass --
+    the reference reads each off-diagonal block twice,
+    symmetricblockmatrix.jl:394-418; XLA multi-output fusion keeps the two
+    contractions in a single traversal of ``vals``).  Requires out_len ==
+    n_in; ``transpose`` is ignored (the pair is transpose-invariant).
     """
     vec = x.ndim == 1
     xm = x[:, None] if vec else x
@@ -98,14 +128,15 @@ def bucket_apply(
 
     for (vals, ridx, cidx), sinfo in zip(buckets, scatter_info):
         v = jnp.conj(vals) if conj else vals
-        if transpose:
+        if transpose and not symmetric:
             gather_idx, scatter_idx = ridx, cidx
             spec = "bmk,bmr->bkr"
         else:
             gather_idx, scatter_idx = cidx, ridx
             spec = "bmk,bkr->bmr"
         xg = x_ext[gather_idx]  # [nb, g, r]
-        yp = _block_contract(spec, v, xg, r, transpose, acc_dtype, precision)
+        yp = _block_contract(spec, v, xg, r, transpose and not symmetric,
+                             acc_dtype, precision)
         ypf = yp.reshape(-1, r)
         if sinfo is None:
             acc = acc.at[scatter_idx.reshape(-1)].add(
@@ -116,6 +147,15 @@ def bucket_apply(
             acc = acc + jax.ops.segment_sum(
                 ypf[perm], targets, num_segments=out_len + 1,
                 indices_are_sorted=True,
+            )
+        if symmetric:
+            # transposed contribution from the same v read (one-read fusion)
+            xr = x_ext[ridx]  # [nb, m, r]
+            yt = _block_contract("bmk,bmr->bkr", v, xr, r, True,
+                                 acc_dtype, precision)
+            acc = acc.at[cidx.reshape(-1)].add(
+                yt.reshape(-1, r), indices_are_sorted=False,
+                unique_indices=False,
             )
 
     out = acc[:out_len]
@@ -136,6 +176,7 @@ def chunked_bucket_apply(
     precision=None,
     row_chunk_max: int | None = None,
     col_chunk_max: int | None = None,
+    symmetric: bool = False,
 ):
     """Chunk-granular engine for contiguous-range buckets.
 
@@ -155,40 +196,61 @@ def chunked_bucket_apply(
     if acc_dtype is None:
         acc_dtype = jnp.result_type(xm.dtype, vals.dtype)
 
-    if transpose:
+    if transpose and not symmetric:
         gather_idx, scatter_idx = row_chunk_idx, col_chunk_idx
         g_extent, s_extent = mp, kp
         spec = "bmk,bmr->bkr"
+        tr = True
     else:
         gather_idx, scatter_idx = col_chunk_idx, row_chunk_idx
         g_extent, s_extent = kp, mp
         spec = "bmk,bkr->bmr"
+        tr = False
 
     v = jnp.conj(vals) if conj else vals
-    g_max = row_chunk_max if transpose else col_chunk_max
-    s_max = col_chunk_max if transpose else row_chunk_max
+    g_max = row_chunk_max if tr else col_chunk_max
+    s_max = col_chunk_max if tr else row_chunk_max
+    if symmetric:
+        # both index sets gather AND scatter: use the conservative bound
+        g_max = s_max = (
+            None
+            if row_chunk_max is None or col_chunk_max is None
+            else max(row_chunk_max, col_chunk_max)
+        )
 
     # pad elision: when the host layout guarantees every gathered window is
     # in range and out_len is chunk-aligned, skip the pad and the final
     # slice -- the graph shrinks to gather / contract / scatter, which is
     # what keeps tiny matvecs (a handful of us) near the roofline.
+    g_pad_extent = max(g_extent, s_extent) if symmetric else g_extent
     if g_max is not None and n_in % C == 0 and (g_max + 1) * C <= n_in:
         x2 = xm.reshape(n_in // C, C, r)
     else:
-        in_rows = _round_up(n_in, C) + g_extent
+        in_rows = _round_up(n_in, C) + g_pad_extent
         x2 = jnp.pad(xm, ((0, in_rows - n_in), (0, 0))).reshape(
             in_rows // C, C, r
         )
     xg = x2[gather_idx].reshape(nb, g_extent, r)
-    yp = _block_contract(spec, v, xg, r, transpose, acc_dtype, precision)
+    yp = _block_contract(spec, v, xg, r, tr, acc_dtype, precision)
     upd = yp.reshape(nb, s_extent // C, C, r)
-    if s_max is not None and out_len % C == 0 and (s_max + 1) * C <= out_len:
+    s_pad_extent = max(g_extent, s_extent) if symmetric else s_extent
+    elide = s_max is not None and out_len % C == 0 and (s_max + 1) * C <= out_len
+    if elide:
         y2 = jnp.zeros((out_len // C, C, r), dtype=acc_dtype)
-        y2 = y2.at[scatter_idx].add(upd)
+    else:
+        out_rows = _round_up(out_len, C) + s_pad_extent
+        y2 = jnp.zeros((out_rows // C, C, r), dtype=acc_dtype)
+    y2 = y2.at[scatter_idx].add(upd)
+    if symmetric:
+        # transposed contribution from the same v read (one-read fusion;
+        # the reference reads each stored off-diagonal twice,
+        # symmetricblockmatrix.jl:394-418)
+        xr = x2[row_chunk_idx].reshape(nb, mp, r)
+        yt = _block_contract("bmk,bmr->bkr", v, xr, r, True,
+                             acc_dtype, precision)
+        y2 = y2.at[col_chunk_idx].add(yt.reshape(nb, kp // C, C, r))
+    if elide:
         out = y2.reshape(out_len, r)
     else:
-        out_rows = _round_up(out_len, C) + s_extent
-        y2 = jnp.zeros((out_rows // C, C, r), dtype=acc_dtype)
-        y2 = y2.at[scatter_idx].add(upd)
-        out = y2.reshape(out_rows, r)[:out_len]
+        out = y2.reshape(-1, r)[:out_len]
     return out[:, 0] if vec else out

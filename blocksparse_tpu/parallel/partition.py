@@ -88,8 +88,10 @@ def stack_buckets(layout, part: RowPartition, cols_per: int | None = None):
         xlocal = np.zeros(nb, dtype=bool)
         for j in range(nb):
             # first REAL row index (slot 0 may be an offset-padding sentinel
-            # in chunked buckets)
+            # in chunked buckets; k-merged slots store real rows throughout)
             first = int(b.row_idx[j, int(b.row_off[j])]) if mp else 0
+            if first >= layout.nrows:
+                first = int(b.row_idx[j, 0])
             s = min(first // rows_per, S - 1)
             owner[j] = s
             if cols_per is None:

@@ -29,10 +29,13 @@ def test_exact_bucketing():
     assert lay.nnz == 2 * 6 + 16
     assert lay.padded_nnz == lay.nnz  # granularity (1,1): no padding
     assert lay.nblocks == 3
-    # block_loc roundtrip
+    # block_view roundtrip: every block recoverable from its slot
     for i in range(3):
-        bi, slot = lay.block_loc[i]
-        assert int(lay.buckets[bi].block_ids[slot]) == i
+        b, slot, orr, occ, m, k = lay.block_view(i)
+        assert (m, k) == blocks[i].shape
+        assert np.array_equal(
+            b.values[slot, orr:orr + m, occ:occ + k], blocks[i]
+        )
 
 
 def test_granularity_padding_and_sentinels():
@@ -153,3 +156,51 @@ def test_layout_hash_stability():
         [np.full((2, 2), 2.0)], [np.array([0, 1])], [np.array([2, 3])], (4, 4)
     )
     assert a != c
+
+
+def test_kmerge_lane_density():
+    """Blocks sharing an output row window k-merge into lane-dense slots
+    (round-2 perf stage): exact binary decomposition, padded_nnz unchanged."""
+    rng = np.random.default_rng(5)
+    C = 64
+    n = 1024
+    # 5 blocks in window [0, 64), 2 in [128, 192), 1 alone in [256, 320)
+    placements = [(0, c) for c in (0, 64, 128, 192, 256)] + [
+        (128, 0), (128, 512), (256, 448)
+    ]
+    blocks = [rng.standard_normal((C, C)) for _ in placements]
+    rows = [np.arange(r, r + C) for r, _ in placements]
+    cols = [np.arange(c, c + C) for _, c in placements]
+    lay = build_layout(blocks, rows, cols, (n, n))
+    shapes = sorted((b.mp, b.kp, b.nblocks) for b in lay.buckets)
+    # 5 -> groups of 4 + 1; 2 -> group of 2; 1 -> single
+    assert shapes == [(64, 64, 2), (64, 128, 1), (64, 256, 1)]
+    assert lay.padded_nnz == 8 * C * C  # merge adds no padding
+    assert lay.nnz == 8 * C * C
+    # every block recoverable through block_view
+    for i in range(len(blocks)):
+        b, slot, orr, occ, m, k = lay.block_view(i)
+        assert np.array_equal(b.values[slot, orr:orr+m, occ:occ+k], blocks[i])
+    # merged slots keep valid chunk tables
+    for b in lay.buckets:
+        assert b.chunk == C
+        assert b.col_chunk_idx.shape == (b.nblocks, b.kp // C)
+
+
+def test_kmerge_product_matches_oracle():
+    import blocksparse_tpu as bst
+
+    rng = np.random.default_rng(6)
+    n = 512
+    C = 32
+    blocks, rows, cols = [], [], []
+    for r in (0, 0, 0, 64, 64, 128):
+        c = int(rng.integers(0, (n - C) // C)) * C
+        blocks.append(rng.standard_normal((C, C)))
+        rows.append(np.arange(r, r + C))
+        cols.append(np.arange(c, c + C))
+    A = bst.BlockSparseMatrix(blocks, rows, cols, (n, n))
+    S = bst.to_scipy(A)
+    x = rng.standard_normal(n)
+    assert np.max(np.abs(A @ x - S @ x)) < 1e-12
+    assert np.max(np.abs(A.T @ x - S.T @ x)) < 1e-12

@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 
 import blocksparse_tpu as bst
-from blocksparse_tpu.ops.pallas.fused_spmm import contiguous_block_apply
+from blocksparse_tpu.ops.pallas.fused_spmm import chunked_block_apply
 from blocksparse_tpu.utils.testmatrices import random_vbcrs
 
 TOL32 = 1e-4
@@ -22,44 +22,73 @@ def relerr(a, b):
     return float(np.max(np.abs(a - b))) / scale
 
 
+def _tables(starts, extent, C):
+    """Chunk tables for contiguous C-aligned windows."""
+    return np.stack([s // C + np.arange(extent // C) for s in starts]).astype(
+        np.int32
+    )
+
+
 def test_kernel_uniform_blocks(rng):
-    nb, mp, kp, N = 20, 16, 32, 300
+    nb, mp, kp, N, C = 20, 16, 32, 304, 8
     vals = rng.standard_normal((nb, mp, kp)).astype(np.float32)
-    rs = rng.integers(0, N - mp, nb).astype(np.int32)
-    cs = rng.integers(0, N - kp, nb).astype(np.int32)
+    rs = (rng.integers(0, (N - mp) // C, nb) * C).astype(np.int32)
+    cs = (rng.integers(0, (N - kp) // C, nb) * C).astype(np.int32)
+    rc, cc = _tables(rs, mp, C), _tables(cs, kp, C)
     x = rng.standard_normal(N).astype(np.float32)
 
     ref = np.zeros(N, np.float64)
     for b in range(nb):
         ref[rs[b] : rs[b] + mp] += vals[b].astype(np.float64) @ x[cs[b] : cs[b] + kp]
-    y = contiguous_block_apply(
-        jnp.asarray(vals), jnp.asarray(rs), jnp.asarray(cs), jnp.asarray(x), N,
-        interpret=True,
+    y = chunked_block_apply(
+        jnp.asarray(vals), jnp.asarray(rc), jnp.asarray(cc), C,
+        jnp.asarray(x), N, interpret=True,
     )
     assert relerr(y, ref) < TOL32
 
     reft = np.zeros(N, np.float64)
     for b in range(nb):
         reft[cs[b] : cs[b] + kp] += vals[b].T.astype(np.float64) @ x[rs[b] : rs[b] + mp]
-    yt = contiguous_block_apply(
-        jnp.asarray(vals), jnp.asarray(rs), jnp.asarray(cs), jnp.asarray(x), N,
-        transpose=True, interpret=True,
+    yt = chunked_block_apply(
+        jnp.asarray(vals), jnp.asarray(rc), jnp.asarray(cc), C,
+        jnp.asarray(x), N, transpose=True, interpret=True,
     )
     assert relerr(yt, reft) < TOL32
 
 
-def test_kernel_multi_rhs(rng):
-    nb, mp, kp, N, r = 10, 8, 8, 120, 9
+def test_kernel_scattered_chunks(rng):
+    """Chunk tables need not describe contiguous ranges: k-merged slots
+    concatenate several column windows (core/layout.py _kmerge)."""
+    nb, mp, kp, N, C = 8, 16, 32, 256, 8
     vals = rng.standard_normal((nb, mp, kp)).astype(np.float32)
-    rs = rng.integers(0, N - mp, nb).astype(np.int32)
-    cs = rng.integers(0, N - kp, nb).astype(np.int32)
+    rc = _tables((rng.integers(0, (N - mp) // C, nb) * C), mp, C)
+    cc = rng.integers(0, N // C, (nb, kp // C)).astype(np.int32)  # arbitrary
+    x = rng.standard_normal(N).astype(np.float32)
+    ref = np.zeros(N, np.float64)
+    for b in range(nb):
+        xg = np.concatenate([x[c * C : (c + 1) * C] for c in cc[b]])
+        lo = rc[b, 0] * C
+        ref[lo : lo + mp] += vals[b].astype(np.float64) @ xg
+    y = chunked_block_apply(
+        jnp.asarray(vals), jnp.asarray(rc), jnp.asarray(cc), C,
+        jnp.asarray(x), N, interpret=True,
+    )
+    assert relerr(y, ref) < TOL32
+
+
+def test_kernel_multi_rhs(rng):
+    nb, mp, kp, N, r, C = 10, 8, 8, 120, 9, 8
+    vals = rng.standard_normal((nb, mp, kp)).astype(np.float32)
+    rs = (rng.integers(0, (N - mp) // C, nb) * C).astype(np.int32)
+    cs = (rng.integers(0, (N - kp) // C, nb) * C).astype(np.int32)
+    rc, cc = _tables(rs, mp, C), _tables(cs, kp, C)
     X = rng.standard_normal((N, r)).astype(np.float32)
     ref = np.zeros((N, r), np.float64)
     for b in range(nb):
         ref[rs[b] : rs[b] + mp] += vals[b].astype(np.float64) @ X[cs[b] : cs[b] + kp]
-    Y = contiguous_block_apply(
-        jnp.asarray(vals), jnp.asarray(rs), jnp.asarray(cs), jnp.asarray(X), N,
-        interpret=True,
+    Y = chunked_block_apply(
+        jnp.asarray(vals), jnp.asarray(rc), jnp.asarray(cc), C,
+        jnp.asarray(X), N, interpret=True,
     )
     assert relerr(Y, ref) < TOL32
 

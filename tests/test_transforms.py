@@ -45,7 +45,7 @@ def test_grad_through_product(rng):
     assert all(la.shape == lg.shape for la, lg in zip(leaves_a, leaves_g))
     # finite-difference check on one block entry
     eps = 1e-6
-    bi, slot = A.layout.block_loc[0]
+    bi, slot = A.layout.block_loc[0][:2]
     vals = A._buckets[bi][0]
     bumped = vals.at[slot, 0, 0].add(eps)
     A2 = jax.tree_util.tree_unflatten(
