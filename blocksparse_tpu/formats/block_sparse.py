@@ -158,8 +158,40 @@ class BlockSparseMatrix(LinearOperator):
         return self._tcolors
 
     # -- compute ------------------------------------------------------------
+    def _strip_for(self, transpose: bool):
+        """Lazy slab plan (+ cached device leaves); None if ineligible.
+
+        Cached per instance; rebuilt after tree_unflatten (host-side work
+        only happens once per live object)."""
+        cache = getattr(self, "_strip_cache", None)
+        if cache is None:
+            cache = {}
+            self._strip_cache = cache
+        key = "T" if transpose else "N"
+        if key not in cache:
+            from ..core.strip import plan_from_layout
+            from ..ops.pallas.slab_spmv import plan_device_arrays
+
+            plan = plan_from_layout(self._layout, transpose=transpose)
+            cache[key] = None if plan is None else (plan,
+                                                    plan_device_arrays(plan))
+        return cache[key]
+
     def _apply(self, x, transpose: bool, conj: bool):
         out_len = self.shape[1] if transpose else self.shape[0]
+        from ..ops.dispatch import strip_eligible, strip_wins
+
+        if strip_eligible(self._backend, x, self.dtype):
+            entry = self._strip_for(transpose)
+            if entry is not None and strip_wins(entry[0],
+                                                [(self._layout, 1)]):
+                from ..ops.pallas.slab_spmv import slab_apply
+
+                # conj is a no-op for the real dtype this path admits
+                return slab_apply(
+                    entry[0], entry[1], x,
+                    interpret=self._backend == "pallas-interpret",
+                )
         return apply_operand(
             self._buckets, self._layout, self._backend, out_len, x,
             transpose=transpose, conj=conj, precision=self._precision,

@@ -194,10 +194,43 @@ class SymmetricBlockMatrix(LinearOperator):
         return self._fused_colors
 
     # -- compute ------------------------------------------------------------
+    def _strip_for(self, transpose: bool):
+        """Lazy unified slab plan: diag (mirror=0) + off-diag (mirror=1)
+        tiles in ONE stream -> one kernel launch computes S = D + O + O^T
+        with each stored off-diagonal read once (the fused pass the
+        reference lacks, symmetricblockmatrix.jl:394-418)."""
+        cache = getattr(self, "_strip_cache", None)
+        if cache is None:
+            cache = {}
+            self._strip_cache = cache
+        key = "T" if transpose else "N"
+        if key not in cache:
+            from ..core.strip import plan_symmetric
+            from ..ops.pallas.slab_spmv import plan_device_arrays
+
+            plan = plan_symmetric(self._dlayout, self._olayout,
+                                  transpose_diag=transpose)
+            cache[key] = None if plan is None else (plan,
+                                                    plan_device_arrays(plan))
+        return cache[key]
+
     def _apply(self, x, transpose: bool, conj: bool):
         # Off-diagonal pair honors only conj; diagonal honors both flags
-        # (see module docstring).  Dispatch routes eligible off-diagonal
-        # buckets through the fused one-read/two-MXU-ops Pallas pass.
+        # (see module docstring).
+        from ..ops.dispatch import strip_eligible, strip_wins
+
+        if strip_eligible(self._backend, x, self.dtype):
+            entry = self._strip_for(transpose)
+            # XLA reads off-diagonal values twice (fwd + transposed
+            # contribution are separate einsums); the slab pass reads once.
+            if entry is not None and strip_wins(
+                    entry[0], [(self._dlayout, 1), (self._olayout, 2)]):
+                from ..ops.pallas.slab_spmv import slab_apply
+
+                return slab_apply(
+                    entry[0], entry[1], x,
+                    interpret=self._backend == "pallas-interpret",
+                )
         return apply_symmetric(
             self._dbuckets, self._dlayout, self._obuckets, self._olayout,
             self._backend, self.shape[0], x, transpose=transpose, conj=conj,

@@ -19,6 +19,7 @@ Backend strings carried by operators:
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -27,6 +28,47 @@ import numpy as np
 
 from .pallas.fused_spmm import choose_config, chunked_block_apply
 from .xla_spmv import bucket_apply, chunked_bucket_apply
+
+# -- strip/slab routing (round 2) -------------------------------------------
+# Launch-overhead proxy: one XLA bucket launch costs roughly the time of
+# streaming this many bytes (measured ~2.6us/bucket on the v5e = ~2 MB; a
+# conservative 1 MB biases toward the proven engine).  Overridable per
+# deployment: BST_STRIP=never|always|auto, BST_STRIP_TAX_MB=<float>.
+_STRIP_TAX = float(os.environ.get("BST_STRIP_TAX_MB", "1.0")) * 1e6
+
+
+def strip_mode() -> str:
+    return os.environ.get("BST_STRIP", "auto")
+
+
+def strip_eligible(backend: str, x, dtype) -> bool:
+    """Static pre-check for the slab kernel path (r=1, f32, TPU/interpret)."""
+    if strip_mode() == "never" or backend == "xla":
+        return False
+    if x.ndim != 1:
+        return False
+    if jnp.dtype(dtype) != jnp.float32 or x.dtype != jnp.float32:
+        return False
+    if backend != "pallas-interpret" and jax.default_backend() != "tpu":
+        return False
+    return True
+
+
+def strip_wins(plan, layouts_reads) -> bool:
+    """Host-side cost model: slab stream vs per-bucket XLA launches.
+
+    ``layouts_reads``: [(layout, n_value_reads)] -- symmetric off-diagonals
+    count 2 reads on the XLA path (measured: XLA does not fuse the two
+    einsums into one traversal) but 1 on the fused slab pass.
+    """
+    if plan is None:
+        return False
+    if strip_mode() == "always":
+        return True
+    xla = sum(l.padded_nnz * 4 * rd + _STRIP_TAX * max(len(l.buckets), 1)
+              for l, rd in layouts_reads)
+    strip = plan.tile_bytes + plan.aux_bytes + _STRIP_TAX
+    return strip < xla
 
 
 def _xla_engine(dev_buckets, host_buckets, out_len, x, *, transpose, conj,
