@@ -1,0 +1,151 @@
+"""Weak-scaling harness (BASELINE config 5).
+
+The reference has no distributed layer at all (SURVEY.md §2); BASELINE's
+north star asks for >= 75% weak-scaling efficiency of block-row-partitioned
+symmetric SpMV/SpMM with overlapped halo exchange.
+
+Real multi-chip hardware is not available in this environment, so the
+harness produces the two measurements that ARE meaningful on a virtual
+S-device CPU mesh, with the methodology documented in docs/distributed.md:
+
+1. **Parallel overhead**: all S virtual devices share the same physical
+   cores, so S shards doing S x total work can never show wall-clock
+   speedup.  What CAN be measured is overhead: t_mesh(S, n_S) vs
+   t_1device(n_S) for the same total problem.  A ratio near 1.0 means the
+   decomposition (halo exchange + stacked-uniform execution + reverse
+   exchange) adds nothing on top of the raw compute -- the property that
+   turns into weak-scaling efficiency when shards run on separate chips.
+
+2. **Traffic accounting** (static, exact): halo bytes exchanged per shard
+   per product as S grows with fixed per-shard work.  Weak scalability
+   requires this to stay CONSTANT per shard (it is the boundary layer of
+   the chain structure) while the all_gather the round-1 design used grows
+   O(n) per shard.
+
+Fixture: chain-coupled symmetric block system (nearest-neighbor cluster
+coupling, the 1-D analog of the reference's BEM near-field structure,
+docs/src/block.md:4) with GROUPS_PER_SHARD groups of GROUP elements per
+shard: n = S * GROUPS_PER_SHARD * GROUP.
+
+Run:  python benchmarks/weak_scaling.py        (forces CPU, 8 virtual devs)
+Writes benchmarks/weak_scaling_results.json (MULTICHIP-style artifact).
+"""
+
+import json
+import os
+import sys
+import time
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+from jax.sharding import Mesh  # noqa: E402
+
+import blocksparse_tpu as bst  # noqa: E402
+from blocksparse_tpu.parallel.distributed import distribute  # noqa: E402
+
+GROUP = 256
+GROUPS_PER_SHARD = 8
+REPEATS = 30
+RHS = 8  # SpMM width
+
+
+def chain_symmetric(ngroups, rng):
+    """Nearest-neighbor-coupled symmetric block system, f32."""
+    d = [rng.standard_normal((GROUP, GROUP), dtype=np.float32)
+         for _ in range(ngroups)]
+    di = [np.arange(i * GROUP, (i + 1) * GROUP) for i in range(ngroups)]
+    o, ri, ci = [], [], []
+    for i in range(ngroups - 1):
+        o.append(rng.standard_normal((GROUP, GROUP), dtype=np.float32))
+        ri.append(np.arange(i * GROUP, (i + 1) * GROUP))
+        ci.append(np.arange((i + 1) * GROUP, (i + 2) * GROUP))
+    n = ngroups * GROUP
+    return bst.SymmetricBlockMatrix(d, di, o, ri, ci, (n, n)), n
+
+
+def timeit(fn, *args):
+    y = fn(*args)
+    jax.block_until_ready(y)
+    ts = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[0], ts[len(ts) // 2]  # min, median
+
+
+def main():
+    devs = jax.devices()
+    rng = np.random.default_rng(5)
+    rows = []
+    for S in (1, 2, 4, 8):
+        if S > len(devs):
+            break
+        ngroups = S * GROUPS_PER_SHARD
+        S_op, n = chain_symmetric(ngroups, rng)
+        x = rng.standard_normal(n).astype(np.float32)
+        X = rng.standard_normal((n, RHS)).astype(np.float32)
+
+        mesh = Mesh(np.array(devs[:S]), ("rows",))
+        D = distribute(S_op, mesh)
+
+        # single-device reference on the SAME total problem
+        t1_mv, t1med_mv = timeit(S_op.mv, x)
+        tS_mv, tSmed_mv = timeit(D.mv, x)
+        t1_mm, _ = timeit(S_op.mm, X)
+        tS_mm, _ = timeit(D.mm, X)
+
+        halo_bytes_per_shard = (
+            D.exchanged_bytes_per_call // S if S > 1 else 0
+        )
+        all_gather_per_shard = (S - 1) * S * D._meta.cols_per * 4 if S > 1 else 0
+        err = float(np.max(np.abs(np.asarray(D.mv(x)) - np.asarray(S_op @ x))))
+        rows.append(dict(
+            S=S, n=n,
+            spmv_1dev_us=round(t1_mv * 1e6, 1),
+            spmv_mesh_us=round(tS_mv * 1e6, 1),
+            spmv_overhead=round(tS_mv / t1_mv, 3),
+            spmv_median_overhead=round(tSmed_mv / t1med_mv, 3),
+            spmm_overhead=round(tS_mm / t1_mm, 3),
+            halo_bytes_per_shard=halo_bytes_per_shard,
+            all_gather_bytes_per_shard=all_gather_per_shard,
+            max_err=err,
+        ))
+        print(json.dumps(rows[-1]))
+
+    # weak-scaling traffic check: halo/shard constant, all_gather/shard O(n)
+    per_shard = [r["halo_bytes_per_shard"] for r in rows if r["S"] > 1]
+    traffic_flat = (
+        max(per_shard) == min(per_shard) if per_shard else True
+    )
+    out = dict(
+        methodology=(
+            "virtual CPU mesh: all shards share one host's cores, so "
+            "wall-clock speedup is impossible by construction; reported "
+            "instead are (a) mesh-vs-1-device overhead on the same total "
+            "problem and (b) exact static halo traffic per shard"
+        ),
+        group=GROUP, groups_per_shard=GROUPS_PER_SHARD,
+        rows=rows, halo_traffic_constant_per_shard=traffic_flat,
+    )
+    path = os.path.join(os.path.dirname(__file__),
+                        "weak_scaling_results.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {path}; halo/shard constant: {traffic_flat}")
+
+
+if __name__ == "__main__":
+    main()

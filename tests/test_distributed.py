@@ -5,6 +5,7 @@ The JAX analog of testing multi-node without a cluster (SURVEY.md §4):
 """
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 from jax.sharding import Mesh
@@ -43,16 +44,57 @@ def test_block_sparse_spmv(nshards, rng):
     assert relerr(D.mv(x), A @ x) < TOL
 
 
-def test_symmetric_spmv_reduce_scatter(rng):
-    """Symmetric transposed contributions land on remote rows -> exercises
-    the psum_scatter path."""
+def test_symmetric_spmv_single_stored(rng):
+    """Half-stored off-diagonals distribute WITHOUT host-side expansion:
+    the mirrored contribution is fused into the same pass (VERDICT #4) and
+    lands on remote rows through the reverse halo exchange."""
     d, di, o, ri, ci, shape = random_symmetric(
         42, n=640, ngroups=16, noffdiag=40, dtype=np.float64
     )
     S_op = bst.SymmetricBlockMatrix(d, di, o, ri, ci, shape)
     D = distribute(S_op, mesh_of(8))
-    assert D.has_remote  # scattered symmetric structure must cross shards
+    # single storage: nonzero values on device == one copy of each block
+    # (the round-1 design expanded every off-diagonal twice host-side)
+    stored_nnz = sum(
+        int(np.count_nonzero(np.asarray(grp[0])))
+        for part in D._arrays[2] for row in part for grp in row
+        if grp is not None
+    )
+    logical = sum(np.count_nonzero(b) for b in d) + sum(
+        np.count_nonzero(b) for b in o
+    )
+    assert stored_nnz == logical
+    assert D.row_halo.dists  # scattered structure must cross shards
     x = rng.standard_normal(shape[1])
+    assert relerr(D.mv(x), S_op @ x) < TOL
+    # symmetric transpose/adjoint ride the same storage
+    assert relerr(D.T @ x, S_op.T @ x) < TOL
+
+
+def test_halo_traffic_beats_all_gather(rng):
+    """VERDICT #4 'done' criterion: exchanged bytes << full-x bytes.
+
+    The fixture mirrors the reference's BEM near-field structure
+    (docs/src/block.md:4): off-diagonal coupling only between NEIGHBORING
+    index groups, so each shard's halo is a thin boundary layer while an
+    all_gather would move all of x to every shard."""
+    n, ngroups = 8192, 64
+    gsz = n // ngroups
+    rg = np.random.default_rng(46)
+    d = [rg.standard_normal((gsz, gsz)) for _ in range(ngroups)]
+    di = [np.arange(i * gsz, (i + 1) * gsz) for i in range(ngroups)]
+    o, ri, ci = [], [], []
+    for i in range(ngroups - 1):  # nearest-neighbor coupling only
+        o.append(rg.standard_normal((gsz, gsz)))
+        ri.append(np.arange(i * gsz, (i + 1) * gsz))
+        ci.append(np.arange((i + 1) * gsz, (i + 2) * gsz))
+    S_op = bst.SymmetricBlockMatrix(d, di, o, ri, ci, (n, n))
+    S = 8
+    D = distribute(S_op, mesh_of(S))
+    n_padded = S * D._meta.cols_per
+    all_gather_bytes = (S - 1) * n_padded * 4 * S  # what the old design moved
+    assert D.exchanged_bytes_per_call < all_gather_bytes / 10
+    x = rng.standard_normal(n)
     assert relerr(D.mv(x), S_op @ x) < TOL
 
 
@@ -67,6 +109,8 @@ def test_vbcrs_spmm(rng):
 
 
 def test_transpose_and_adjoint_distribution(rng):
+    """distribute(A.T) and distribute(A).T share one device copy; the
+    transpose product reuses the stacked values with swapped tables."""
     blocks, rows, cols, shape = random_block_sparse(
         44, shape=(512, 512), nblocks=30, max_block=40, dtype=np.complex128
     )
@@ -76,6 +120,60 @@ def test_transpose_and_adjoint_distribution(rng):
     Dh = distribute(A.H, mesh_of(4))
     assert relerr(Dt.mv(x), A.T @ x) < TOL
     assert relerr(Dh.mv(x), A.H @ x) < TOL
+    D = distribute(A, mesh_of(4))
+    assert relerr(D.T @ x, A.T @ x) < TOL
+    assert relerr(D.H @ x, A.H @ x) < TOL
+    assert relerr(D.conj() @ x, A.conj() @ x) < TOL
+
+
+def test_rectangular_transpose(rng):
+    """Non-square: the transpose product crosses between the row and col
+    partitions (different halo plans per side)."""
+    blocks, rows, cols, shape = random_block_sparse(
+        47, shape=(700, 350), nblocks=30, max_block=40, dtype=np.float64
+    )
+    A = bst.BlockSparseMatrix(blocks, rows, cols, shape)
+    D = distribute(A, mesh_of(4))
+    x = rng.standard_normal(shape[1])
+    xt = rng.standard_normal(shape[0])
+    assert relerr(D @ x, A @ x) < TOL
+    assert relerr(D.T @ xt, A.T @ xt) < TOL
+
+
+def test_operator_algebra(rng):
+    """Full LinearOperator surface under distribution (VERDICT #6):
+    axpby, scaling, sum, composition."""
+    blocks, rows, cols, shape = random_block_sparse(
+        48, shape=(512, 512), nblocks=25, max_block=40, dtype=np.float64
+    )
+    A = bst.BlockSparseMatrix(blocks, rows, cols, shape)
+    D = distribute(A, mesh_of(4))
+    x = rng.standard_normal(shape[1])
+    y = rng.standard_normal(shape[0])
+    ref = 2.5 * np.asarray(A @ x) + 0.5 * y
+    assert relerr(D.axpby(x, y, 2.5, 0.5), ref) < TOL
+    assert relerr((3.0 * D) @ x, 3.0 * np.asarray(A @ x)) < TOL
+    assert relerr((D + D) @ x, 2.0 * np.asarray(A @ x)) < TOL
+    assert relerr((D.T @ D) @ x, A.T @ (A @ x)) < TOL
+
+
+def test_distributed_cg(rng):
+    """VERDICT #7 'done' criterion: CG solves an SPD block system on the
+    8-device mesh through the operator's solver closure."""
+    d, di, o, ri, ci, shape = random_symmetric(
+        49, n=512, ngroups=16, noffdiag=24, dtype=np.float64
+    )
+    # make it SPD: S + lam*I via operator algebra would need an identity
+    # operator; instead strengthen the diagonal blocks.
+    d = [b + b.T + 50.0 * np.eye(b.shape[0]) for b in d]
+    S_op = bst.SymmetricBlockMatrix(d, di, o, ri, ci, shape)
+    D = distribute(S_op, mesh_of(8))
+    b = rng.standard_normal(shape[0])
+    x, _ = jax.scipy.sparse.linalg.cg(
+        D.matvec_closure(), jnp.asarray(b), tol=1e-10, maxiter=500
+    )
+    res = np.asarray(S_op @ x) - b
+    assert float(np.linalg.norm(res) / np.linalg.norm(b)) < 1e-8
 
 
 def test_uneven_rows(rng):
@@ -87,3 +185,14 @@ def test_uneven_rows(rng):
     D = distribute(A, mesh_of(8))
     x = rng.standard_normal(shape[1])
     assert relerr(D.mv(x), A @ x) < TOL
+
+
+def test_spmm_wide_rhs(rng):
+    """SpMM with a 64-col RHS on the mesh (VERDICT #7)."""
+    d, di, o, ri, ci, shape = random_symmetric(
+        50, n=512, ngroups=16, noffdiag=24, dtype=np.float64
+    )
+    S_op = bst.SymmetricBlockMatrix(d, di, o, ri, ci, shape)
+    D = distribute(S_op, mesh_of(8))
+    X = rng.standard_normal((shape[1], 64))
+    assert relerr(D.mm(X), S_op @ X) < TOL
