@@ -35,10 +35,13 @@ def chained_time_per_iter(
     ``step_fn`` must map an array (or pytree) to an array of the same
     structure so iterations chain.  Returns seconds per iteration.
 
-    ``reduce``: "median" for a typical-load estimate, or "min" for the
+    ``reduce``: "median" for a typical-load estimate, "min" for the
     least-contended window — the pooled TPU behind the relay is shared, so
     its throughput varies several-fold over minutes; "min" approximates the
-    uncontended capability (use for roofline comparisons).
+    uncontended capability (use for roofline comparisons).  "stats" returns
+    a dict {min, median, max, n} over the repeats so benchmark artifacts
+    record the spread, not a single point (a degenerate measurement is then
+    visible instead of masquerading as a fast one).
     """
 
     @partial(jax.jit, static_argnums=1)
@@ -88,6 +91,14 @@ def chained_time_per_iter(
         estimates = measure(iters_lo, iters_hi, repeats)
 
     estimates.sort()
+    if reduce == "stats":
+        valid = [e for e in estimates if e > 1e-6] or [max(estimates[-1], 1e-12)]
+        return {
+            "min": valid[0],
+            "median": valid[len(valid) // 2],
+            "max": valid[-1],
+            "n": len(valid),
+        }
     if reduce == "min":
         # smallest non-degenerate estimate (variance can drive the
         # difference quotient to ~0; require at least 1 us/iter)
