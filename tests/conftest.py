@@ -21,18 +21,40 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402  (already imported by sitecustomize; config still mutable)
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+# On-chip tier (tests/test_tpu.py): BST_TPU_TESTS=1 keeps the default axon
+# TPU platform and f32; everything else runs the f64 CPU oracle suite.
+TPU_TIER = os.environ.get("BST_TPU_TESTS") == "1"
 
-# Persistent compilation cache: the suite is compile-bound on CPU (many
-# distinct bucket-shape graphs); caching makes re-runs fast.
-_CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+if TPU_TIER:
+    _CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", ".jax_cache_tpu")
+else:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    # Persistent compilation cache: the suite is compile-bound on CPU (many
+    # distinct bucket-shape graphs); caching makes re-runs fast.
+    _CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "tpu: on-chip tests (run with BST_TPU_TESTS=1 on a TPU)"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if "tpu" in item.keywords and not TPU_TIER:
+            item.add_marker(pytest.mark.skip(
+                reason="TPU tier: set BST_TPU_TESTS=1 on a TPU host"))
+        elif "tpu" not in item.keywords and TPU_TIER:
+            item.add_marker(pytest.mark.skip(
+                reason="CPU oracle suite: unset BST_TPU_TESTS"))
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,119 @@
+"""On-chip test tier (VERDICT #9): Pallas == XLA on the real TPU.
+
+The CPU suite validates kernel LOGIC (pallas-interpret); this tier asserts
+the COMPILED kernels agree with the XLA engine and the scipy oracle on the
+actual device, for all three formats and bf16.
+
+Run:  BST_TPU_TESTS=1 python -m pytest tests/test_tpu.py -v
+(the default axon platform is kept; everything else in tests/ is skipped).
+The committed run log lives at tests/tpu_tier.log (referenced from
+COVERAGE.md).
+"""
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+# f32 on-chip tolerance: products are exact-f32 (precision=highest); the
+# oracle accumulates differently, so allow a few ulp * problem scale.
+TOL = 5e-4
+
+
+def relerr(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    scale = max(1.0, float(np.max(np.abs(b))))
+    return float(np.max(np.abs(a - b))) / scale
+
+
+@pytest.fixture(scope="module")
+def contiguous_bsm():
+    import blocksparse_tpu as bst
+
+    rng = np.random.default_rng(5)
+    n, nb, bs = 1024, 24, 64
+    ntiles = n // bs
+    pos = rng.choice(ntiles * ntiles, size=nb, replace=False)
+    rows = (pos // ntiles) * bs
+    cols = (pos % ntiles) * bs
+    blocks = [rng.standard_normal((bs, bs)).astype(np.float32)
+              for _ in range(nb)]
+    rowlists = [np.arange(r, r + bs) for r in rows]
+    collists = [np.arange(c, c + bs) for c in cols]
+
+    def build(**kw):
+        return bst.BlockSparseMatrix(blocks, rowlists, collists, (n, n), **kw)
+
+    return build
+
+
+def test_bsm_pallas_vs_xla_spmm(contiguous_bsm):
+    import blocksparse_tpu as bst
+
+    A_x = contiguous_bsm(backend="xla")
+    A_p = contiguous_bsm(backend="pallas")
+    rng = np.random.default_rng(1)
+    X = rng.standard_normal((A_x.shape[1], 128)).astype(np.float32)
+    y_x = np.asarray(A_x @ X)
+    y_p = np.asarray(A_p @ X)
+    oracle = bst.to_scipy(A_x) @ X
+    assert relerr(y_p, y_x) < TOL
+    assert relerr(y_x, oracle) < TOL
+    assert relerr(y_p, oracle) < TOL
+
+
+def test_bsm_spmv_engines_agree(contiguous_bsm):
+    import blocksparse_tpu as bst
+
+    A_x = contiguous_bsm(backend="xla")
+    A_p = contiguous_bsm(backend="pallas")
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(A_x.shape[1]).astype(np.float32)
+    oracle = bst.to_scipy(A_x) @ x
+    assert relerr(A_x @ x, oracle) < TOL
+    assert relerr(A_p @ x, oracle) < TOL
+    assert relerr(A_x.T @ x, bst.to_scipy(A_x).T @ x) < TOL
+
+
+def test_symmetric_slab_on_chip(monkeypatch):
+    """The one-read fused slab kernel vs the XLA engine on device."""
+    import blocksparse_tpu as bst
+    from blocksparse_tpu.utils.testmatrices import random_symmetric
+
+    d, di, o, ri, ci, shape = random_symmetric(
+        3, n=2048, ngroups=24, noffdiag=40, dtype=np.float32, contiguous=True
+    )
+    S_x = bst.SymmetricBlockMatrix(d, di, o, ri, ci, shape, backend="xla")
+    monkeypatch.setenv("BST_STRIP", "always")
+    S_s = bst.SymmetricBlockMatrix(d, di, o, ri, ci, shape)
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal(shape[1]).astype(np.float32)
+    oracle = bst.to_scipy(S_x) @ x
+    assert relerr(S_x @ x, oracle) < TOL
+    assert relerr(S_s @ x, oracle) < TOL
+
+
+def test_vbcrs_on_chip():
+    import blocksparse_tpu as bst
+    from blocksparse_tpu.utils.testmatrices import random_vbcrs
+
+    blocks, rstarts, cstarts, shape = random_vbcrs(
+        6, shape=(1024, 1024), nrowgroups=12, ncolgroups=12, dtype=np.float32
+    )
+    V = bst.VariableBlockCompressedRowStorage(blocks, rstarts, cstarts, shape)
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(shape[1]).astype(np.float32)
+    assert relerr(V @ x, bst.to_scipy(V) @ x) < TOL
+
+
+def test_bf16_on_chip(contiguous_bsm):
+    """bf16 storage path on the MXU; loose tolerance (bf16 mantissa)."""
+    import blocksparse_tpu as bst
+
+    A = contiguous_bsm(dtype=np.dtype("bfloat16") if hasattr(np, "bfloat16")
+                       else "bfloat16")
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal(A.shape[1]).astype(np.float32)
+    oracle = bst.to_scipy(
+        contiguous_bsm(backend="xla")) @ x
+    assert relerr(np.asarray(A @ x, np.float32), oracle) < 0.05
