@@ -6,6 +6,8 @@ Variants (same 2000x128x128 f32 workload, random indices):
   no_gather     einsum on a fixed x tile + scatter-add
   gemm_only     einsum only
   sorted_scatter gather + einsum + permuted sorted segment-sum scatter
+  mask_gather   mask-select Pallas gather + einsum + XLA scatter
+  mask_full     mask-select Pallas gather AND scatter (VERDICT #3 kernel)
 """
 
 import os
@@ -70,12 +72,28 @@ def main():
             contrib, sorted_targets, num_segments=n, indices_are_sorted=True
         )
 
+    from blocksparse_tpu.ops.pallas.mask_select import (
+        mask_gather, mask_scatter_add,
+    )
+
+    def mask_g(v):
+        xg = mask_gather(v, cidx)
+        yp = jnp.einsum("bmk,bk->bm", vals, xg)
+        return jnp.zeros(n, jnp.float32).at[ridx.reshape(-1)].add(yp.reshape(-1))
+
+    def mask_full(v):
+        xg = mask_gather(v, cidx)
+        yp = jnp.einsum("bmk,bk->bm", vals, xg)
+        return mask_scatter_add(yp.reshape(-1), ridx.reshape(-1), n)
+
     for name, fn in [
         ("full", full),
         ("no_scatter", no_scatter),
         ("no_gather", no_gather),
         ("gemm_only", gemm_only),
         ("sorted_scatter", sorted_scatter),
+        ("mask_gather", mask_g),
+        ("mask_full", mask_full),
     ]:
         t0 = time.time()
         step = lambda v, f=fn: f(v) * 0.01 + v * 1e-6

@@ -71,8 +71,19 @@ def strip_wins(plan, layouts_reads) -> bool:
     return strip < xla
 
 
+def _mask_gs_mode(backend: str) -> str | None:
+    """Mask-select gather/scatter routing for the element engine
+    (ops/pallas/mask_select.py).  BST_MASK_GS=never disables; backend
+    "xla" stays pure XLA (the reference path the tests compare against)."""
+    if os.environ.get("BST_MASK_GS", "auto") == "never" or backend == "xla":
+        return None
+    if backend == "pallas-interpret":
+        return "interpret"
+    return "compiled" if jax.default_backend() == "tpu" else None
+
+
 def _xla_engine(dev_buckets, host_buckets, out_len, x, *, transpose, conj,
-                precision, scatter, symmetric=False):
+                precision, scatter, symmetric=False, mask_gs=None):
     """Non-pallas path: chunk-granular engine for chunked buckets, element
     engine (optionally sorted-scatter) for the rest.
 
@@ -104,6 +115,7 @@ def _xla_engine(dev_buckets, host_buckets, out_len, x, *, transpose, conj,
         part = bucket_apply(
             elem_dev, out_len, x, transpose=transpose, conj=conj,
             precision=precision, scatter_info=sinfo, symmetric=symmetric,
+            mask_gs=mask_gs,
         )
         y = part if y is None else y + part
     return y
@@ -275,6 +287,7 @@ def apply_operand(
         y = _xla_engine(
             dev_buckets, layout.buckets, out_len, x, transpose=transpose,
             conj=conj, precision=precision, scatter=scatter,
+            mask_gs=_mask_gs_mode(backend),
         )
         if y is None:
             shape = (out_len,) if x.ndim == 1 else (out_len, x.shape[1])
@@ -310,6 +323,7 @@ def apply_operand(
         part = _xla_engine(
             xla_buckets, xla_hosts, out_len, x, transpose=transpose,
             conj=conj, precision=precision, scatter=scatter,
+            mask_gs=_mask_gs_mode(backend),
         )
         y = part if y is None else y + part
     if y is None:
@@ -374,6 +388,7 @@ def apply_symmetric(
         part = _xla_engine(
             xla_off, xla_off_hosts, n, x, transpose=False, conj=conj,
             precision=precision, scatter="atomic", symmetric=True,
+            mask_gs=_mask_gs_mode(backend),
         )
         y = part if y is None else y + part
 

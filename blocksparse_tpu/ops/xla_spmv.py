@@ -90,6 +90,7 @@ def bucket_apply(
     precision=None,
     scatter_info=None,
     symmetric: bool = False,
+    mask_gs: str | None = None,
 ):
     """Apply a bucketed block-sparse operand to ``x`` ([n] or [n, r]).
 
@@ -113,10 +114,17 @@ def bucket_apply(
     symmetricblockmatrix.jl:394-418; XLA multi-output fusion keeps the two
     contractions in a single traversal of ``vals``).  Requires out_len ==
     n_in; ``transpose`` is ignored (the pair is transpose-invariant).
+
+    ``mask_gs``: None (pure XLA), "compiled", or "interpret" -- route the
+    gather and scatter-add through the mask-select Pallas kernels
+    (ops/pallas/mask_select.py, ~6x faster than XLA's scalar path on
+    scattered indices) where a bucket is eligible (f32, r == 1, operand
+    lengths within the VMEM-resident cap, enough indices to amortize).
     """
     vec = x.ndim == 1
     xm = x[:, None] if vec else x
     r = xm.shape[1]
+    n_in = x.shape[0]
     x_ext = extend_input(xm)
 
     if acc_dtype is None:
@@ -126,6 +134,29 @@ def bucket_apply(
     if scatter_info is None:
         scatter_info = [None] * len(buckets)
 
+    mask_ok = (
+        mask_gs is not None
+        and r == 1
+        and acc_dtype == jnp.float32
+        and xm.dtype == jnp.float32
+    )
+    if mask_ok:
+        from .pallas.mask_select import (
+            eligible as _mg_ok, mask_gather, mask_scatter_add,
+        )
+        interp = mask_gs == "interpret"
+        g_ok = _mg_ok(n_in, jnp.float32)
+        s_ok = _mg_ok(out_len, jnp.float32)
+    extra = None
+
+    def gather(src_ext, idx):
+        # src_ext is x with the appended zero row; the mask kernel applies
+        # the same sentinel convention natively (idx >= n reads 0)
+        if mask_ok and g_ok and idx.size >= 4096:
+            return mask_gather(src_ext[:-1, 0], idx, interpret=interp)[
+                ..., None]
+        return src_ext[idx]
+
     for (vals, ridx, cidx), sinfo in zip(buckets, scatter_info):
         v = jnp.conj(vals) if conj else vals
         if transpose and not symmetric:
@@ -134,14 +165,21 @@ def bucket_apply(
         else:
             gather_idx, scatter_idx = cidx, ridx
             spec = "bmk,bkr->bmr"
-        xg = x_ext[gather_idx]  # [nb, g, r]
+        xg = gather(x_ext, gather_idx)  # [nb, g, r]
         yp = _block_contract(spec, v, xg, r, transpose and not symmetric,
                              acc_dtype, precision)
         ypf = yp.reshape(-1, r)
         if sinfo is None:
-            acc = acc.at[scatter_idx.reshape(-1)].add(
-                ypf, indices_are_sorted=False, unique_indices=False
-            )
+            if mask_ok and s_ok and scatter_idx.size >= 4096:
+                part = mask_scatter_add(
+                    ypf[:, 0], scatter_idx.reshape(-1), out_len,
+                    interpret=interp,
+                )
+                extra = part if extra is None else extra + part
+            else:
+                acc = acc.at[scatter_idx.reshape(-1)].add(
+                    ypf, indices_are_sorted=False, unique_indices=False
+                )
         else:
             perm, targets = sinfo
             acc = acc + jax.ops.segment_sum(
@@ -150,15 +188,23 @@ def bucket_apply(
             )
         if symmetric:
             # transposed contribution from the same v read (one-read fusion)
-            xr = x_ext[ridx]  # [nb, m, r]
+            xr = gather(x_ext, ridx)  # [nb, m, r]
             yt = _block_contract("bmk,bmr->bkr", v, xr, r, True,
                                  acc_dtype, precision)
-            acc = acc.at[cidx.reshape(-1)].add(
-                yt.reshape(-1, r), indices_are_sorted=False,
-                unique_indices=False,
-            )
+            ytf = yt.reshape(-1, r)
+            if mask_ok and s_ok and cidx.size >= 4096:
+                part = mask_scatter_add(
+                    ytf[:, 0], cidx.reshape(-1), out_len, interpret=interp,
+                )
+                extra = part if extra is None else extra + part
+            else:
+                acc = acc.at[cidx.reshape(-1)].add(
+                    ytf, indices_are_sorted=False, unique_indices=False,
+                )
 
     out = acc[:out_len]
+    if extra is not None:
+        out = out + extra[:, None]
     return out[:, 0] if vec else out
 
 
