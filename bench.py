@@ -116,6 +116,24 @@ def build_config3(n=4096, seed=9, **kw):
     )
 
 
+def build_config_s(n=16384, nblocks=400, bs=128, seed=12, **kw):
+    """Scattered-fixture SpMV (VERDICT #3): sorted, locally-clustered
+    gather lists like the reference's BEM fixtures (e.g. [43,44,58,59] --
+    SURVEY.md §4), at a bandwidth-meaningful scale (26 MB of values)."""
+    import blocksparse_tpu as bst
+
+    rng = np.random.default_rng(seed)
+    span = int(bs * 1.3)
+    blocks, rows, cols = [], [], []
+    for _ in range(nblocks):
+        blocks.append(rng.standard_normal((bs, bs)).astype(np.float32))
+        rb = int(rng.integers(0, n - span))
+        cb = int(rng.integers(0, n - span))
+        rows.append(rb + np.sort(rng.choice(span, bs, replace=False)))
+        cols.append(cb + np.sort(rng.choice(span, bs, replace=False)))
+    return bst.BlockSparseMatrix(blocks, rows, cols, (n, n), **kw)
+
+
 def bench_modes(A, x, iters=(10, 60)):
     """(dep_stats, piped_stats): dependent-chain latency and pipelined
     per-product throughput, each {min, median, max, n} seconds."""
@@ -173,59 +191,17 @@ def main():
     dep, pip = bench_modes(A, x)
     bytes_per = nnz * 4 + 2 * n * 4
     roof_t = bytes_per / bw
-    frac_pip = roof_t / pip["min"]
-    frac_dep = roof_t / dep["min"]
+    # median over repeats: "min" can go degenerate on a noisy difference
+    # quotient (observed: a 3.1 us estimate = an impossible 130% of
+    # roofline), so the headline is the median and min/max ride as spread
+    frac_pip = roof_t / pip["median"]
+    frac_dep = roof_t / dep["median"]
     log(
-        f"# config1 spmv 4096/200x64x64: piped {pip['min']*1e6:.1f} us/prod "
-        f"{spread_us(pip)} = {100*frac_pip:.1f}% of roofline | dep chain "
-        f"{dep['min']*1e6:.1f} us {spread_us(dep)} = {100*frac_dep:.1f}%"
+        f"# config1 spmv 4096/200x64x64: piped {pip['median']*1e6:.1f} "
+        f"us/prod {spread_us(pip)} = {100*frac_pip:.1f}% of roofline | dep "
+        f"chain {dep['median']*1e6:.1f} us {spread_us(dep)} = "
+        f"{100*frac_dep:.1f}%"
     )
-
-    # -- config 4: SpMM on config-1 matrix ----------------------------------
-    try:
-        X = jnp.asarray(rng.standard_normal((n, 128)).astype(np.float32))
-        from blocksparse_tpu.utils.timing import chained_time_per_iter
-
-        dtm = chained_time_per_iter(
-            lambda V: (A @ V) * 1e-3, X, iters_lo=5, iters_hi=25,
-            repeats=7, reduce="stats",
-        )
-        log(f"# config4 spmm r=128: {dtm['min']*1e6:.1f} us "
-            f"{spread_us(dtm)}, {2*nnz*128/dtm['min']/1e12:.2f} TFLOP/s")
-    except Exception as e:
-        log(f"# config4 failed: {e}")
-
-    # -- config 2: symmetric fused ------------------------------------------
-    try:
-        S = build_config2()
-        xs = jnp.asarray(rng.standard_normal(S.shape[0]).astype(np.float32))
-        dts, pips = bench_modes(S, xs, iters=(5, 25))
-        s_bytes = (S._dlayout.padded_nnz + S._olayout.padded_nnz) * 4
-        log(
-            f"# config2 symmetric spmv (half-stored): piped "
-            f"{pips['min']*1e6:.1f} us {spread_us(pips)} = "
-            f"{100*(s_bytes/pips['min'])/bw:.1f}% of stored-traffic roofline"
-            f" | dep {dts['min']*1e6:.1f} us {spread_us(dts)} = "
-            f"{100*(s_bytes/dts['min'])/bw:.1f}%"
-        )
-    except Exception as e:
-        log(f"# config2 failed: {e}")
-
-    # -- config 3: VBCRS mixed sizes ----------------------------------------
-    try:
-        V = build_config3()
-        xv = jnp.asarray(rng.standard_normal(V.shape[1]).astype(np.float32))
-        dtv, pipv = bench_modes(V, xv, iters=(5, 25))
-        v_bytes = V.layout.padded_nnz * 4
-        log(
-            f"# config3 vbcrs mixed 16-128 spmv: piped "
-            f"{pipv['min']*1e6:.1f} us {spread_us(pipv)} = "
-            f"{100*(v_bytes/pipv['min'])/bw:.1f}% of padded-traffic roofline"
-            f" | dep {dtv['min']*1e6:.1f} us {spread_us(dtv)} = "
-            f"{100*(v_bytes/dtv['min'])/bw:.1f}%"
-        )
-    except Exception as e:
-        log(f"# config3 failed: {e}")
 
     print(
         json.dumps(
@@ -250,6 +226,70 @@ def main():
             }
         )
     )
+
+    # -- config 4: SpMM on config-1 matrix ----------------------------------
+    try:
+        X = jnp.asarray(rng.standard_normal((n, 128)).astype(np.float32))
+        from blocksparse_tpu.utils.timing import chained_time_per_iter
+
+        dtm = chained_time_per_iter(
+            lambda V: (A @ V) * 1e-3, X, iters_lo=5, iters_hi=25,
+            repeats=7, reduce="stats",
+        )
+        log(f"# config4 spmm r=128: {dtm['median']*1e6:.1f} us "
+            f"{spread_us(dtm)}, {2*nnz*128/dtm['median']/1e12:.2f} TFLOP/s")
+    except Exception as e:
+        log(f"# config4 failed: {e}")
+
+    # -- config 2: symmetric fused ------------------------------------------
+    try:
+        S = build_config2()
+        xs = jnp.asarray(rng.standard_normal(S.shape[0]).astype(np.float32))
+        dts, pips = bench_modes(S, xs, iters=(5, 25))
+        s_bytes = (S._dlayout.padded_nnz + S._olayout.padded_nnz) * 4
+        log(
+            f"# config2 symmetric spmv (half-stored): piped "
+            f"{pips['median']*1e6:.1f} us {spread_us(pips)} = "
+            f"{100*(s_bytes/pips['median'])/bw:.1f}% of stored-traffic roofline"
+            f" | dep {dts['median']*1e6:.1f} us {spread_us(dts)} = "
+            f"{100*(s_bytes/dts['median'])/bw:.1f}%"
+        )
+    except Exception as e:
+        log(f"# config2 failed: {e}")
+
+    # -- config 3: VBCRS mixed sizes ----------------------------------------
+    try:
+        V = build_config3()
+        xv = jnp.asarray(rng.standard_normal(V.shape[1]).astype(np.float32))
+        dtv, pipv = bench_modes(V, xv, iters=(5, 25))
+        v_bytes = V.layout.padded_nnz * 4
+        log(
+            f"# config3 vbcrs mixed 16-128 spmv: piped "
+            f"{pipv['median']*1e6:.1f} us {spread_us(pipv)} = "
+            f"{100*(v_bytes/pipv['median'])/bw:.1f}% of padded-traffic roofline"
+            f" | dep {dtv['median']*1e6:.1f} us {spread_us(dtv)} = "
+            f"{100*(v_bytes/dtv['median'])/bw:.1f}%"
+        )
+    except Exception as e:
+        log(f"# config3 failed: {e}")
+
+    # -- config S: scattered clustered lists (VERDICT #3) -------------------
+    try:
+        As = build_config_s()
+        xs2 = jnp.asarray(rng.standard_normal(As.shape[1]).astype(np.float32))
+        dsc, psc = bench_modes(As, xs2, iters=(5, 25))
+        s_bytes = As.nnz * 4 + 2 * As.shape[0] * 4
+        covered = sum(bk.chunk > 1 for bk in As.layout.buckets)
+        log(
+            f"# configS scattered spmv (chunk-cover {covered}/"
+            f"{len(As.layout.buckets)} buckets, padded/logical "
+            f"{As.layout.padded_nnz/As.nnz:.2f}): piped {psc['median']*1e6:.1f}"
+            f" us {spread_us(psc)} = {100*(s_bytes/psc['median'])/bw:.1f}% of "
+            f"LOGICAL-traffic roofline | dep {dsc['median']*1e6:.1f} us "
+            f"{spread_us(dsc)} = {100*(s_bytes/dsc['median'])/bw:.1f}%"
+        )
+    except Exception as e:
+        log(f"# configS failed: {e}")
 
 
 if __name__ == "__main__":

@@ -56,6 +56,25 @@ def is_contiguous(idx: np.ndarray) -> bool:
     return bool(np.all(idx[1:] == idx[:-1] + 1))
 
 
+def _cover_chunks(idx: np.ndarray, C: int) -> np.ndarray:
+    """Sorted distinct C-chunks an index list touches."""
+    idx = np.asarray(idx, dtype=np.int64)
+    if idx.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    return np.unique(idx // C)
+
+
+def _cover_positions(idx: np.ndarray, C: int) -> np.ndarray:
+    """In-tile positions under chunk-cover placement: element e lands at
+    (rank of its chunk among the distinct chunks) * C + e % C.
+
+    For a contiguous range this reduces exactly to the classic offset
+    placement (start % C shift), so one code path serves both."""
+    idx = np.asarray(idx, dtype=np.int64)
+    ch = _cover_chunks(idx, C)
+    return (np.searchsorted(ch, idx // C) * C + idx % C).astype(np.int64)
+
+
 @dataclass(frozen=True)
 class Bucket:
     """One shape bucket: all blocks padded to the same (mp, kp) tile.
@@ -165,6 +184,22 @@ class BlockLayout:
         bi, slot, orr, occ, m, k = self.block_loc[i]
         return self.buckets[bi], slot, orr, occ, m, k
 
+    def extract_block(self, i: int) -> np.ndarray:
+        """Original block i's values, handling every placement.
+
+        Contiguous / element placements are a dense sub-slice; chunk-cover
+        placements (scattered lists dilated onto their covering C-chunks)
+        recompute the dilated positions from the stored index lists."""
+        b, slot, orr, occ, m, k = self.block_view(i)
+        ri = self.rowindices[i]
+        ci = self.colindices[i]
+        C = int(b.chunk)
+        if C > 1 and not (is_contiguous(ri) and is_contiguous(ci)):
+            rpos = _cover_positions(ri, C)
+            cpos = _cover_positions(ci, C)
+            return np.asarray(b.values[slot][np.ix_(rpos, cpos)])
+        return np.asarray(b.values[slot, orr:orr + m, occ:occ + k])
+
     @property
     def padded_nnz(self) -> int:
         return int(sum(b.nblocks * b.mp * b.kp for b in self.buckets))
@@ -180,7 +215,7 @@ def _pad_indices(idx: np.ndarray, padded: int, sentinel: int) -> np.ndarray:
     return out
 
 
-CHUNK_CANDIDATES = (128, 64, 32, 16, 8)
+CHUNK_CANDIDATES = (128, 64, 32, 16, 8, 4)
 
 MERGE_CAP = 512  # max k-extent of a merged slot (VMEM / launch-count tradeoff)
 
@@ -333,6 +368,108 @@ def _kmerge(buckets: list[Bucket], nrows: int, cap: int = MERGE_CAP):
     return new_buckets, loc
 
 
+def _emit_bucket(ids, rcov, ccov, mp, kp, C, blocks, rlists, clists,
+                 r_contig, c_contig, dtype, nrows, ncols) -> Bucket:
+    """Pack one bucket's blocks into uniform tiles.
+
+    Placement: element layout (C == 1), classic offset-shift (contiguous
+    ranges), or chunk-cover dilation (scattered lists) -- the latter two
+    share the position rule (see _cover_positions)."""
+    nb = len(ids)
+    contig = all(
+        rlists[i].size > 0 and clists[i].size > 0
+        and r_contig[i] and c_contig[i]
+        for i in ids
+    )
+    offs_r = np.zeros(nb, dtype=np.int32)
+    offs_c = np.zeros(nb, dtype=np.int32)
+    rpos_l = [None] * nb
+    cpos_l = [None] * nb
+    if C > 1:
+        for j, i in enumerate(ids):
+            rpos_l[j] = _cover_positions(rlists[i], C)
+            cpos_l[j] = _cover_positions(clists[i], C)
+            offs_r[j] = int(rpos_l[j][0]) if rpos_l[j].size else 0
+            offs_c[j] = int(cpos_l[j][0]) if cpos_l[j].size else 0
+
+    packed = None
+    try:
+        from . import native_pack
+
+        # the native packer implements offset placement; cover placement
+        # of scattered lists is host-python (cold construction path)
+        if native_pack.available() and (C == 1 or contig):
+            packed = native_pack.pack_bucket_native(
+                [np.asarray(blocks[i]) for i in ids],
+                [rlists[i] for i in ids],
+                [clists[i] for i in ids],
+                offs_r, offs_c, mp, kp, dtype, nrows, ncols,
+            )
+    except Exception:
+        packed = None
+    if packed is not None:
+        vals, ridx, cidx = packed
+    else:
+        vals = np.zeros((nb, mp, kp), dtype=dtype)
+        ridx = np.full((nb, mp), nrows, dtype=np.int32)
+        cidx = np.full((nb, kp), ncols, dtype=np.int32)
+    tm = np.zeros((nb,), dtype=np.int32)
+    tk = np.zeros((nb,), dtype=np.int32)
+    rstart = np.full((nb,), -1, dtype=np.int32)
+    cstart = np.full((nb,), -1, dtype=np.int32)
+    rchunk = np.zeros((nb, mp // C), dtype=np.int32) if C > 1 else None
+    cchunk = np.zeros((nb, kp // C), dtype=np.int32) if C > 1 else None
+    for j, i in enumerate(ids):
+        b = np.asarray(blocks[i])
+        m, k = b.shape
+        orr, occ = int(offs_r[j]), int(offs_c[j])
+        if packed is None:
+            if C > 1 and not (r_contig[i] and c_contig[i]):
+                # chunk-cover placement of a scattered list
+                vals[j][np.ix_(rpos_l[j], cpos_l[j])] = b
+                ridx[j, rpos_l[j]] = rlists[i]
+                cidx[j, cpos_l[j]] = clists[i]
+            else:
+                vals[j, orr : orr + m, occ : occ + k] = b
+                ridx[j, orr : orr + m] = rlists[i]
+                cidx[j, occ : occ + k] = clists[i]
+        tm[j], tk[j] = m, k
+        if r_contig[i] and m > 0:
+            rstart[j] = int(rlists[i][0]) - orr  # C-aligned tile start
+        if c_contig[i] and k > 0:
+            cstart[j] = int(clists[i][0]) - occ
+        if C > 1:
+            # chunk tables from the cover (== consecutive window for
+            # contiguous ranges); padded slots repeat the last real
+            # chunk -- their value rows/cols are zero, so the duplicate
+            # gather/scatter contributes exactly 0
+            rc_ = rcov[j]
+            if rc_.size:
+                rchunk[j, : rc_.size] = rc_
+                rchunk[j, rc_.size:] = rc_[-1]
+            cc_ = ccov[j]
+            if cc_.size:
+                cchunk[j, : cc_.size] = cc_
+                cchunk[j, cc_.size:] = cc_[-1]
+    return Bucket(
+        mp=mp,
+        kp=kp,
+        values=vals,
+        row_idx=ridx,
+        col_idx=cidx,
+        block_ids=np.asarray(ids, dtype=np.int32),
+        true_m=tm,
+        true_k=tk,
+        row_start=rstart,
+        col_start=cstart,
+        row_off=offs_r,
+        col_off=offs_c,
+        chunk=C,
+        row_chunk_idx=rchunk,
+        col_chunk_idx=cchunk,
+    )
+
+
 def build_layout(
     blocks: Sequence[np.ndarray],
     rowindices: Sequence[np.ndarray],
@@ -418,102 +555,93 @@ def build_layout(
             and c_contig[i]
             for i in ids
         )
-        def shape_for(c):
-            offs_r = np.array([int(rlists[i][0]) % c for i in ids], dtype=np.int32)
-            offs_c = np.array([int(clists[i][0]) % c for i in ids], dtype=np.int32)
-            mpc = round_up(
-                int(max(offs_r[j] + rlists[i].size for j, i in enumerate(ids))), c
-            )
-            kpc = round_up(
-                int(max(offs_c[j] + clists[i].size for j, i in enumerate(ids))), c
-            )
-            return offs_r, offs_c, mpc, kpc
+        def cover_for(c):
+            """Chunk-cover tile for candidate c: every block's values dilate
+            onto the distinct C-chunks its (possibly scattered) index lists
+            touch.  For contiguous ranges this is exactly the classic
+            offset-shift placement (see _cover_positions)."""
+            rch = [_cover_chunks(rlists[i], c) for i in ids]
+            cch = [_cover_chunks(clists[i], c) for i in ids]
+            mpc = c * max(1, max((x.size for x in rch), default=1))
+            kpc = c * max(1, max((x.size for x in cch), default=1))
+            return rch, cch, mpc, kpc
 
         C = 1
-        if contig and chunk != 1:
+        rcov = ccov = None
+        if chunk != 1:
             cands = (int(chunk),) if isinstance(chunk, int) else CHUNK_CANDIDATES
-            # largest candidate whose offset-padding stays within 2x of the
-            # granularity tile area; else the viable candidate wasting least
-            # (chunk indexing is ~1000x cheaper per element than the element
-            # engine, so some padded streaming is always the better trade)
+            entries = [(c,) + cover_for(c) for c in cands
+                       if c <= mp and c <= kp]
             chosen = None
-            viable = []
-            for c in cands:
-                if c <= mp and c <= kp:
-                    offs_r, offs_c, mpc, kpc = shape_for(c)
-                    entry = (c, offs_r, offs_c, mpc, kpc)
-                    if mpc * kpc <= 2 * mp * kp:
-                        chosen = entry
+            if contig:
+                # largest candidate whose offset-padding stays within 2x of
+                # the granularity tile area; else the candidate wasting
+                # least (chunk indexing is ~1000x cheaper per element than
+                # the element engine, so some padded streaming is always
+                # the better trade)
+                for e in entries:
+                    if e[3] * e[4] <= 2 * mp * kp:
+                        chosen = e
                         break
-                    viable.append(entry)
-            if chosen is None and viable:
-                chosen = min(viable, key=lambda t: t[3] * t[4])
-            if chosen is not None:
-                C, offs_r, offs_c, mp, kp = chosen
-        if C == 1:
-            offs_r = np.zeros(nb, dtype=np.int32)
-            offs_c = np.zeros(nb, dtype=np.int32)
-
-        packed = None
-        try:
-            from . import native_pack
-
-            if native_pack.available():
-                packed = native_pack.pack_bucket_native(
-                    [np.asarray(blocks[i]) for i in ids],
-                    [rlists[i] for i in ids],
-                    [clists[i] for i in ids],
-                    offs_r, offs_c, mp, kp, dtype, nrows, ncols,
+                if chosen is None and entries:
+                    chosen = min(entries, key=lambda t: t[3] * t[4])
+            elif entries:
+                # Scattered (non-contiguous) lists: pick the tightest cover
+                # by TOTAL dilated area (tie -> larger C = fewer indices);
+                # dilate only while the waste stays under ~3.25x of the
+                # logical area -- beyond that the element engine +
+                # mask-select kernels win on streamed bytes (measured
+                # crossover, benchmarks/proto_mask_gs.py vs the chunked
+                # engine's ~600 GB/s).
+                logical = sum(
+                    max(1, rlists[i].size) * max(1, clists[i].size)
+                    for i in ids
                 )
-        except Exception:
-            packed = None
-        if packed is not None:
-            vals, ridx, cidx = packed
+
+                def total_area(e):
+                    c = e[0]
+                    return sum(
+                        c * max(1, r.size) * c * max(1, k.size)
+                        for r, k in zip(e[1], e[2])
+                    )
+
+                best = min(entries, key=lambda t: (total_area(t), -t[0]))
+                if total_area(best) <= 3.25 * logical:
+                    chosen = best
+            if chosen is not None:
+                C, rcov, ccov, mp, kp = chosen
+
+        if C > 1 and not contig:
+            # sub-split cover buckets by chunk-count size class (eighth
+            # granularity: <= 12.5% rounding waste per dim) so one
+            # wide-span block does not dilate every other block's tile;
+            # each sub-bucket's tile is its actual max cover
+            def _cls(v: int) -> int:
+                v = max(1, v)
+                g = max(1, 1 << max(0, v.bit_length() - 3))
+                return -(-v // g) * g
+
+            by_key: dict[tuple[int, int], list[int]] = {}
+            for j in range(nb):
+                by_key.setdefault(
+                    (_cls(rcov[j].size), _cls(ccov[j].size)), []
+                ).append(j)
+            subgroups = []
+            for _, js in sorted(by_key.items()):
+                s_mp = C * max(max(1, rcov[j].size) for j in js)
+                s_kp = C * max(max(1, ccov[j].size) for j in js)
+                subgroups.append((
+                    [ids[j] for j in js], [rcov[j] for j in js],
+                    [ccov[j] for j in js], s_mp, s_kp,
+                ))
         else:
-            vals = np.zeros((nb, mp, kp), dtype=dtype)
-            ridx = np.full((nb, mp), nrows, dtype=np.int32)
-            cidx = np.full((nb, kp), ncols, dtype=np.int32)
-        tm = np.zeros((nb,), dtype=np.int32)
-        tk = np.zeros((nb,), dtype=np.int32)
-        rstart = np.full((nb,), -1, dtype=np.int32)
-        cstart = np.full((nb,), -1, dtype=np.int32)
-        rchunk = np.zeros((nb, mp // C), dtype=np.int32) if C > 1 else None
-        cchunk = np.zeros((nb, kp // C), dtype=np.int32) if C > 1 else None
-        for j, i in enumerate(ids):
-            b = np.asarray(blocks[i])
-            m, k = b.shape
-            orr, occ = int(offs_r[j]), int(offs_c[j])
-            if packed is None:
-                vals[j, orr : orr + m, occ : occ + k] = b
-                ridx[j, orr : orr + m] = rlists[i]
-                cidx[j, occ : occ + k] = clists[i]
-            tm[j], tk[j] = m, k
-            if r_contig[i] and m > 0:
-                rstart[j] = int(rlists[i][0]) - orr  # C-aligned tile start
-            if c_contig[i] and k > 0:
-                cstart[j] = int(clists[i][0]) - occ
-            if C > 1:
-                rchunk[j] = rstart[j] // C + np.arange(mp // C, dtype=np.int32)
-                cchunk[j] = cstart[j] // C + np.arange(kp // C, dtype=np.int32)
-        buckets.append(
-            Bucket(
-                mp=mp,
-                kp=kp,
-                values=vals,
-                row_idx=ridx,
-                col_idx=cidx,
-                block_ids=np.asarray(ids, dtype=np.int32),
-                true_m=tm,
-                true_k=tk,
-                row_start=rstart,
-                col_start=cstart,
-                row_off=offs_r,
-                col_off=offs_c,
-                chunk=C,
-                row_chunk_idx=rchunk,
-                col_chunk_idx=cchunk,
-            )
-        )
+            subgroups = [(ids, rcov, ccov, mp, kp)]
+
+        for s_ids, s_rcov, s_ccov, s_mp, s_kp in subgroups:
+            buckets.append(_emit_bucket(
+                s_ids, s_rcov, s_ccov, s_mp, s_kp, C, blocks, rlists, clists,
+                r_contig, c_contig, dtype, nrows, ncols,
+            ))
 
     if merge:
         buckets, loc_map = _kmerge(buckets, nrows)

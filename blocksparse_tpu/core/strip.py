@@ -175,22 +175,50 @@ def build_strip_plan(entries, shape, *, mirror: bool, TS: int = 512):
 
 def _layout_entries(layout: BlockLayout, *, transpose: bool = False,
                     mirror_flag: float = 0.0):
-    """Yield (block, rowstart, colstart, mirror) from a BlockLayout, or None
-    if any block's index lists are non-contiguous (strips need ranges)."""
+    """Yield (block, rowstart, colstart, mirror) from a BlockLayout.
+
+    Scattered (non-contiguous) index lists embed **span-dense**: the block's
+    values land at their true offsets inside a zero dense patch anchored at
+    (min row, min col).  ``_tiles_from_blocks`` then skips all-zero [8,128]
+    tiles, so what actually streams is the (RC, CC)-cover of the list -- the
+    slab kernel serves the reference's scattered BEM fixtures (sorted,
+    locally clustered lists, SURVEY.md §4) at dense streaming rate.  Returns
+    None when a list's cover would waste > 3.5x its logical area (then the
+    element engine + mask-select kernels win)."""
     out = []
+    cover_total = 0
+    logical_total = 0
     for i in range(layout.nblocks):
         r = layout.rowindices[i]
         c = layout.colindices[i]
         if r.size == 0 or c.size == 0:
             continue
+        blk = layout.extract_block(i)
+        logical_total += r.size * c.size
+        cover_total += r.size * c.size
         if not (is_contiguous(r) and is_contiguous(c)):
-            return None
-        bkt, slot, orr, occ, m, k = layout.block_view(i)
-        blk = np.asarray(bkt.values[slot, orr:orr + m, occ:occ + k])
-        if transpose:
-            out.append((blk.T, int(c[0]), int(r[0]), mirror_flag))
+            r64 = np.asarray(r, np.int64)
+            c64 = np.asarray(c, np.int64)
+            cover = (np.unique(r64 // RC).size * RC
+                     * np.unique(c64 // CC).size * CC)
+            cover_total += cover - r.size * c.size
+            if cover > 8 * max(1, r.size * c.size):
+                return None  # pathological single block: no locality at all
+            r0, c0 = int(r64.min()), int(c64.min())
+            dense = np.zeros(
+                (int(r64.max()) - r0 + 1, int(c64.max()) - c0 + 1),
+                np.float32,
+            )
+            dense[np.ix_(r64 - r0, c64 - c0)] = blk
+            blk, rs_, cs_ = dense, r0, c0
         else:
-            out.append((blk, int(r[0]), int(c[0]), mirror_flag))
+            rs_, cs_ = int(r[0]), int(c[0])
+        if transpose:
+            out.append((blk.T, cs_, rs_, mirror_flag))
+        else:
+            out.append((blk, rs_, cs_, mirror_flag))
+    if cover_total > 3.2 * max(1, logical_total):
+        return None  # total dilution too high: scattered engines win
     return out
 
 

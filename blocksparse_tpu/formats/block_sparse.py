@@ -141,8 +141,7 @@ class BlockSparseMatrix(LinearOperator):
         Reads the host-side layout copy (construction values): no device
         fetch, which also keeps conversions working on backends that cannot
         transfer the dtype (e.g. complex on the tunneled TPU)."""
-        b, slot, orr, occ, m, k = self._layout.block_view(i)
-        return np.asarray(b.values[slot, orr : orr + m, occ : occ + k])
+        return self._layout.extract_block(i)
 
     def blockrowindices(self, i: int) -> np.ndarray:
         return self._layout.rowindices[i]

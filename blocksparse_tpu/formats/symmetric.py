@@ -161,14 +161,12 @@ class SymmetricBlockMatrix(LinearOperator):
 
     # -- reference API parity ----------------------------------------------
     def diagonal(self, i: int) -> np.ndarray:
-        b, slot, orr, occ, m, k = self._dlayout.block_view(i)
         # host-side copy: no device fetch (see BlockSparseMatrix.block)
-        return np.asarray(b.values[slot, orr : orr + m, occ : occ + k])
+        return self._dlayout.extract_block(i)
 
     def offdiagonal(self, i: int) -> np.ndarray:
-        b, slot, orr, occ, m, k = self._olayout.block_view(i)
         # host-side copy: no device fetch (see BlockSparseMatrix.block)
-        return np.asarray(b.values[slot, orr : orr + m, occ : occ + k])
+        return self._olayout.extract_block(i)
 
     def diagonalindices(self, i: int) -> np.ndarray:
         """Parity: ``diagonalindices`` (symmetricblockmatrix.jl:327-339)."""

@@ -221,9 +221,8 @@ class VariableBlockCompressedRowStorage(LinearOperator):
         return range(self.nblocks)
 
     def block(self, i: int) -> np.ndarray:
-        b, slot, orr, occ, m, k = self._layout.block_view(i)
         # host-side copy: no device fetch (see BlockSparseMatrix.block)
-        return np.asarray(b.values[slot, orr : orr + m, occ : occ + k])
+        return self._layout.extract_block(i)
 
     def blockrowindices(self, i: int) -> np.ndarray:
         return self._layout.rowindices[i]

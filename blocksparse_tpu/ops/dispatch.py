@@ -65,8 +65,23 @@ def strip_wins(plan, layouts_reads) -> bool:
         return False
     if strip_mode() == "always":
         return True
-    xla = sum(l.padded_nnz * 4 * rd + _STRIP_TAX * max(len(l.buckets), 1)
-              for l, rd in layouts_reads)
+
+    def idx_tax(lay):
+        # cover-scattered buckets pay XLA's measured ~7 ns/random-chunk-index
+        # gather/scatter cost (= ~5.5 KB of streaming each,
+        # benchmarks/proto_cover.py); contiguous buckets' few post-merge
+        # indices are already covered by the byte model
+        return sum(
+            5500 * b.nblocks * (b.mp // b.chunk + b.kp // b.chunk)
+            for b in lay.buckets
+            if b.chunk > 1 and not b.all_contiguous
+        )
+
+    xla = sum(
+        l.padded_nnz * 4 * rd + _STRIP_TAX * max(len(l.buckets), 1)
+        + idx_tax(l) * rd
+        for l, rd in layouts_reads
+    )
     strip = plan.tile_bytes + plan.aux_bytes + _STRIP_TAX
     return strip < xla
 
@@ -145,8 +160,9 @@ R_SLICE = 128  # RHS columns per Pallas launch for wide SpMM
 
 def _bucket_eligible(host_bucket, n_in, n_out, r, interpret: bool, dtype) -> bool:
     # the kernel is chunk-table driven: any chunked bucket qualifies
-    # (contiguous ranges, k-merged concatenations, chunk-scattered alike)
-    if host_bucket.chunk <= 1:
+    # (contiguous ranges, k-merged concatenations, chunk-scattered alike);
+    # chunk >= 8 = the f32 sublane granularity Mosaic dynamic slices need
+    if host_bucket.chunk < 8:
         return False
     if np.issubdtype(np.dtype(dtype), np.complexfloating):
         return False

@@ -24,7 +24,9 @@ def test_exact_bucketing():
     blocks = [np.ones((2, 3)), np.ones((2, 3)), np.ones((4, 4))]
     rows = [np.array([0, 1]), np.array([2, 3]), np.array([4, 5, 6, 7])]
     cols = [np.array([0, 1, 2]), np.array([3, 4, 5]), np.array([0, 2, 4, 6])]
-    lay = build_layout(blocks, rows, cols, (8, 8))
+    # chunk=1: pure element placement (cover-chunking would dilate the
+    # scattered 4x4 block onto its covering chunks; see test_chunk_cover)
+    lay = build_layout(blocks, rows, cols, (8, 8), chunk=1)
     assert len(lay.buckets) == 2
     assert lay.nnz == 2 * 6 + 16
     assert lay.padded_nnz == lay.nnz  # granularity (1,1): no padding
@@ -204,3 +206,45 @@ def test_kmerge_product_matches_oracle():
     x = rng.standard_normal(n)
     assert np.max(np.abs(A @ x - S @ x)) < 1e-12
     assert np.max(np.abs(A.T @ x - S.T @ x)) < 1e-12
+
+
+def test_chunk_cover_scattered():
+    """Scattered-but-clustered lists dilate onto covering C-chunks
+    (round-2: the chunked engines then serve the reference's scattered
+    fixtures at vector-row speed instead of the element path)."""
+    rng = np.random.default_rng(5)
+    n = 1024
+    blocks, rows, cols = [], [], []
+    for _ in range(12):
+        m, k = int(rng.integers(16, 70)), int(rng.integers(16, 70))
+        blocks.append(rng.standard_normal((m, k)))
+        rb = int(rng.integers(0, n - 2 * m - 8))
+        cb = int(rng.integers(0, n - 2 * k - 8))
+        rows.append(rb + np.sort(rng.choice(int(1.3 * m), m, replace=False)))
+        cols.append(cb + np.sort(rng.choice(int(1.3 * k), k, replace=False)))
+    lay = build_layout(blocks, rows, cols, (n, n), granularity="pow2")
+    assert any(b.chunk > 1 for b in lay.buckets)  # cover engaged
+    logical = sum(b.size for b in blocks)
+    assert lay.padded_nnz <= 3.25 * logical  # waste bound
+    for i in range(12):  # dilated placement round-trips
+        assert np.array_equal(lay.extract_block(i), blocks[i])
+    # chunk tables address real data: oracle product through the package
+    import blocksparse_tpu as bst
+
+    A = bst.BlockSparseMatrix(blocks, rows, cols, (n, n))
+    x = rng.standard_normal(n)
+    ref = bst.to_scipy(A) @ x
+    assert np.max(np.abs(np.asarray(A @ x) - ref)) < 1e-12
+    assert np.max(np.abs(np.asarray(A.T @ x) - bst.to_scipy(A).T @ x)) < 1e-12
+
+
+def test_chunk_cover_random_falls_back():
+    """Uniform-random lists (no locality) must NOT dilate -- the element
+    path + mask-select kernels win there."""
+    rng = np.random.default_rng(6)
+    n = 4096
+    blocks = [rng.standard_normal((48, 48)) for _ in range(4)]
+    rows = [np.sort(rng.choice(n, 48, replace=False)) for _ in range(4)]
+    cols = [np.sort(rng.choice(n, 48, replace=False)) for _ in range(4)]
+    lay = build_layout(blocks, rows, cols, (n, n), granularity="pow2")
+    assert all(b.chunk == 1 for b in lay.buckets)
