@@ -291,6 +291,26 @@ def main():
     except Exception as e:
         log(f"# configS failed: {e}")
 
+    # -- auto-policy revalidation (VERDICT r1 #10) ---------------------------
+    # Re-measure the XLA-vs-Pallas routing on this chip/run and log whether
+    # the shipped defaults still hold (they are overridable per deployment
+    # via BST_AUTO_SPMV/BST_AUTO_SPMM or utils/autotune).
+    try:
+        from blocksparse_tpu.ops.dispatch import _MEASURED_DEFAULT
+        from blocksparse_tpu.utils.autotune import autotune_backend
+
+        for r_cols in (1, 128):
+            rep = autotune_backend(A, r=r_cols, set_policy=False)
+            agree = rep["winner"] == _MEASURED_DEFAULT[rep["kind"]]
+            log(
+                f"# auto-policy {rep['kind']}: xla {rep['xla_us']:.1f} us vs"
+                f" pallas {rep['pallas_us']:.1f} us -> {rep['winner']}"
+                f" ({'matches' if agree else 'DIFFERS FROM'} shipped default"
+                f" {_MEASURED_DEFAULT[rep['kind']]})"
+            )
+    except Exception as e:
+        log(f"# auto-policy revalidation failed: {e}")
+
 
 if __name__ == "__main__":
     main()

@@ -7,14 +7,17 @@ carried by the operator and selects the execution plan:
 
   SERIAL   -- one color containing every block; single sequential plan
               (parity: SerialScheduler -> ``colors = [eachindex(blocks)]``,
-              blockmatrix.jl:92).
+              blockmatrix.jl:92).  Element buckets run deterministic
+              scatter-add.
   COLORED  -- conflict-free colored rounds (parity: DynamicScheduler +
-              WorkstreamDSATUR coloring).  Used by parallel Pallas grid
-              dimensions and by the distributed plans.
-
-On the XLA scatter-add path both schedules produce bit-identical results
-(scatter-add is deterministic); the duality test in tests/ mirrors the
-reference's 1-thread-vs-5-thread CI invariance check.
+              WorkstreamDSATUR coloring).  Selects genuinely different
+              compiled programs: the element engine may run the
+              scatter-free colored gather rounds (ops/colored.py, auto
+              cost-gated), whose correctness DEPENDS on the coloring
+              invariant -- a wrong coloring corrupts results
+              (tests/test_colored.py), which is what makes the
+              serial-vs-colored duality test the analog of the
+              reference's 1-thread-vs-5-thread CI check.
 """
 
 from __future__ import annotations

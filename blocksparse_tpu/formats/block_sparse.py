@@ -195,6 +195,14 @@ class BlockSparseMatrix(LinearOperator):
             self._buckets, self._layout, self._backend, out_len, x,
             transpose=transpose, conj=conj, precision=self._precision,
             scatter=self._scatter,
+            # colored schedule: the element engine may run the scatter-free
+            # colored gather rounds (ops/colored.py); transpose products
+            # use transposecolors (col-conflict sets), the exact role swap
+            # of the reference (blockmatrix.jl:200-206)
+            colors=(
+                None if sched.isserial(self._schedule)
+                else (self._tcolors if transpose else self._colors)
+            ),
         )
 
     def __repr__(self):

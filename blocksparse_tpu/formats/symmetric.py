@@ -233,6 +233,17 @@ class SymmetricBlockMatrix(LinearOperator):
             self._dbuckets, self._dlayout, self._obuckets, self._olayout,
             self._backend, self.shape[0], x, transpose=transpose, conj=conj,
             precision=self._precision,
+            # colored schedule -> scatter-free gather rounds: the diagonal
+            # pass uses diagonalcolors, the fused one-read off-diagonal pass
+            # uses fusedcolors (union row+col conflicts -- the invariant
+            # both of its scatters need; SURVEY.md §7 stance 4)
+            diag_colors=(
+                None if sched.isserial(self._schedule) else self._dcolors
+            ),
+            fused_colors=(
+                None if sched.isserial(self._schedule)
+                else self._fused_colors
+            ),
         )
 
     def __repr__(self):

@@ -41,6 +41,35 @@ def strip_mode() -> str:
     return os.environ.get("BST_STRIP", "auto")
 
 
+# -- auto backend policy (VERDICT r1 #10: measured, logged, overridable) -----
+_MEASURED_DEFAULT = {"spmv": "xla", "spmm": "pallas"}
+_policy_logged: set = set()
+
+
+def auto_policy(kind: str) -> str:
+    """Engine for backend="auto": 'xla' or 'pallas'.
+
+    Resolution order:
+      1. env override  BST_AUTO_SPMV / BST_AUTO_SPMM = xla|pallas
+         (set manually or by utils/autotune.autotune_backend's one-shot
+         measurement on the actual deployment chip);
+      2. measured default for the v5e this repo was tuned on
+         (docs/performance.md: SpMV chunked-XLA 669 vs 452 GB/s;
+         SpMM fused-Pallas 29.4 vs 10.7 TFLOP/s at r=128).
+
+    BST_LOG_DISPATCH=1 logs each (kind, policy, source) decision once.
+    """
+    env = os.environ.get(f"BST_AUTO_{kind.upper()}")
+    src = "env/autotune" if env in ("xla", "pallas") else "measured default"
+    policy = env if env in ("xla", "pallas") else _MEASURED_DEFAULT[kind]
+    if os.environ.get("BST_LOG_DISPATCH") and (kind, policy) not in _policy_logged:
+        import sys
+
+        _policy_logged.add((kind, policy))
+        print(f"[bst dispatch] {kind}: {policy} ({src})", file=sys.stderr)
+    return policy
+
+
 def strip_eligible(backend: str, x, dtype) -> bool:
     """Static pre-check for the slab kernel path (r=1, f32, TPU/interpret)."""
     if strip_mode() == "never" or backend == "xla":
@@ -98,15 +127,23 @@ def _mask_gs_mode(backend: str) -> str | None:
 
 
 def _xla_engine(dev_buckets, host_buckets, out_len, x, *, transpose, conj,
-                precision, scatter, symmetric=False, mask_gs=None):
+                precision, scatter, symmetric=False, mask_gs=None,
+                layout=None, colors=None, bucket_ids=None):
     """Non-pallas path: chunk-granular engine for chunked buckets, element
     engine (optionally sorted-scatter) for the rest.
 
     ``symmetric=True`` emits each bucket's forward AND transposed
-    contribution from one read of its values (the one-read fused pass)."""
+    contribution from one read of its values (the one-read fused pass).
+
+    ``colors``: the operator's color sets (schedule="colored" only).  When
+    profitable, the element buckets run the colored gather-round plan
+    (ops/colored.py) instead of scatter-add -- the plan whose correctness
+    *depends* on the coloring invariant (the serial/colored duality test is
+    the reference's 1-vs-5-thread CI analog and can now actually fail)."""
     y = None
-    elem_dev, elem_host = [], []
-    for hb, (vals, ridx, cidx) in zip(host_buckets, dev_buckets):
+    elem_dev, elem_host, elem_ids = [], [], []
+    for pos, (hb, (vals, ridx, cidx)) in enumerate(
+            zip(host_buckets, dev_buckets)):
         if hb.chunk > 1:
             rc = jnp.asarray(hb.row_chunk_idx)
             cc = jnp.asarray(hb.col_chunk_idx)
@@ -121,16 +158,37 @@ def _xla_engine(dev_buckets, host_buckets, out_len, x, *, transpose, conj,
         else:
             elem_dev.append((vals, ridx, cidx))
             elem_host.append(hb)
+            if bucket_ids is not None:
+                elem_ids.append(bucket_ids[pos])
     if elem_dev:
+        cplan = None
+        if (colors is not None and layout is not None and elem_ids
+                and scatter != "sorted"):
+            from .colored import build_colored_plan, colored_mode, colored_wins
+
+            mode = colored_mode()
+            n_entries = sum(
+                hb.nblocks * (hb.mp + hb.kp if symmetric
+                              else (hb.kp if transpose else hb.mp))
+                for hb in elem_host
+            )
+            if mode == "always" or (
+                mode == "auto"
+                and colored_wins(len(colors), out_len, n_entries)
+            ):
+                cplan = build_colored_plan(
+                    layout, colors, out_len, transpose, elem_ids,
+                    symmetric=symmetric,
+                )
         sinfo = (
             _sorted_scatter_info(elem_host, transpose)
-            if scatter == "sorted" and not symmetric
+            if scatter == "sorted" and not symmetric and cplan is None
             else None
         )
         part = bucket_apply(
             elem_dev, out_len, x, transpose=transpose, conj=conj,
             precision=precision, scatter_info=sinfo, symmetric=symmetric,
-            mask_gs=mask_gs,
+            mask_gs=mask_gs, colored_plan=cplan,
         )
         y = part if y is None else y + part
     return y
@@ -286,24 +344,31 @@ def apply_operand(
     conj: bool = False,
     precision=None,
     scatter: str = "atomic",
+    colors=None,
 ):
-    """Apply a bucketed operand with per-bucket backend routing."""
+    """Apply a bucketed operand with per-bucket backend routing.
+
+    ``colors``: color sets (tuple of tuples of block ids) when the
+    operator's schedule is "colored" -- enables the colored gather-round
+    plan on the element engine (ops/colored.py)."""
     interpret = backend == "pallas-interpret"
     if backend == "xla":
         use_pallas = False
     elif backend in ("pallas", "pallas-interpret"):
         use_pallas = True
-    else:  # auto (measured policy, docs/performance.md):
-        # SpMV -> chunk-granular XLA engine (669 vs 452 GB/s);
-        # SpMM -> fused Pallas kernel (29.4 vs 10.7 TFLOP/s, r=128)
+    else:  # auto: measured policy, env/autotune-overridable (auto_policy)
         r_ = 1 if x.ndim == 1 else x.shape[1]
-        use_pallas = jax.default_backend() == "tpu" and r_ > 1
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and auto_policy("spmv" if r_ == 1 else "spmm") == "pallas"
+        )
 
     if not use_pallas:
         y = _xla_engine(
             dev_buckets, layout.buckets, out_len, x, transpose=transpose,
             conj=conj, precision=precision, scatter=scatter,
-            mask_gs=_mask_gs_mode(backend),
+            mask_gs=_mask_gs_mode(backend), layout=layout, colors=colors,
+            bucket_ids=tuple(range(len(layout.buckets))),
         )
         if y is None:
             shape = (out_len,) if x.ndim == 1 else (out_len, x.shape[1])
@@ -317,7 +382,9 @@ def apply_operand(
     pallas_parts = []
     xla_buckets = []
     xla_hosts = []
-    for host_b, (vals, ridx, cidx) in zip(layout.buckets, dev_buckets):
+    xla_ids = []
+    for bid, (host_b, (vals, ridx, cidx)) in enumerate(
+            zip(layout.buckets, dev_buckets)):
         if _bucket_eligible(host_b, n_in, out_len, r, interpret, dtype):
             rc = jnp.asarray(host_b.row_chunk_idx, dtype=jnp.int32)
             cc = jnp.asarray(host_b.col_chunk_idx, dtype=jnp.int32)
@@ -325,6 +392,7 @@ def apply_operand(
         else:
             xla_buckets.append((vals, ridx, cidx))
             xla_hosts.append(host_b)
+            xla_ids.append(bid)
     # route non-pallas buckets through the chunk-aware engine
 
     y = None
@@ -339,7 +407,8 @@ def apply_operand(
         part = _xla_engine(
             xla_buckets, xla_hosts, out_len, x, transpose=transpose,
             conj=conj, precision=precision, scatter=scatter,
-            mask_gs=_mask_gs_mode(backend),
+            mask_gs=_mask_gs_mode(backend), layout=layout, colors=colors,
+            bucket_ids=tuple(xla_ids),
         )
         y = part if y is None else y + part
     if y is None:
@@ -360,6 +429,8 @@ def apply_symmetric(
     transpose: bool = False,
     conj: bool = False,
     precision=None,
+    diag_colors=None,
+    fused_colors=None,
 ):
     """Symmetric operand: S = D + O + O^T.
 
@@ -374,9 +445,13 @@ def apply_symmetric(
         use_pallas = False
     elif backend in ("pallas", "pallas-interpret"):
         use_pallas = True
-    else:  # auto: measured policy -- chunked XLA wins/ties the fused pass
-        # for SpMV (127 vs 187 us at 4k, tie at 16k); fusion pays for SpMM
-        use_pallas = jax.default_backend() == "tpu" and r > 1
+    else:  # auto: measured policy (chunked XLA wins/ties the fused pass for
+        # SpMV, 127 vs 187 us at 4k; fusion pays for SpMM), overridable via
+        # env/autotune (auto_policy)
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and auto_policy("spmv" if r == 1 else "spmm") == "pallas"
+        )
     dtype = jnp.result_type(
         x.dtype, *[v.dtype for v, _, _ in diag_buckets + off_buckets]
     )
@@ -385,7 +460,9 @@ def apply_symmetric(
     fused_ok = use_pallas and not np.issubdtype(np.dtype(dtype), np.complexfloating)
     xla_off = []
     xla_off_hosts = []
-    for host_b, (vals, ridx, cidx) in zip(off_layout.buckets, off_buckets):
+    xla_off_ids = []
+    for obid, (host_b, (vals, ridx, cidx)) in enumerate(
+            zip(off_layout.buckets, off_buckets)):
         if fused_ok and _bucket_eligible(host_b, x.shape[0], n, r, interpret, dtype):
             rc = jnp.asarray(host_b.row_chunk_idx, dtype=jnp.int32)
             cc = jnp.asarray(host_b.col_chunk_idx, dtype=jnp.int32)
@@ -397,19 +474,23 @@ def apply_symmetric(
         else:
             xla_off.append((vals, ridx, cidx))
             xla_off_hosts.append(host_b)
+            xla_off_ids.append(obid)
     if xla_off:
         # One-read fused pass: both contributions per stored block from a
         # single values traversal (vs the reference's two passes,
-        # symmetricblockmatrix.jl:394-418).
+        # symmetricblockmatrix.jl:394-418).  ``fused_colors`` (union-
+        # conflict sets, fusedcolors()) let the element buckets run the
+        # colored gather rounds for BOTH scatters (ops/colored.py).
         part = _xla_engine(
             xla_off, xla_off_hosts, n, x, transpose=False, conj=conj,
             precision=precision, scatter="atomic", symmetric=True,
-            mask_gs=_mask_gs_mode(backend),
+            mask_gs=_mask_gs_mode(backend), layout=off_layout,
+            colors=fused_colors, bucket_ids=tuple(xla_off_ids),
         )
         y = part if y is None else y + part
 
     diag = apply_operand(
         diag_buckets, diag_layout, backend, n, x, transpose=transpose,
-        conj=conj, precision=precision,
+        conj=conj, precision=precision, colors=diag_colors,
     )
     return diag if y is None else y + diag

@@ -100,10 +100,78 @@ def _kernel_plain(b8_ref, x128_ref, vals_ref, rs_ref, cs_ref, y8_ref):
         R, yf, preferred_element_type=jnp.float32, precision=HI)
 
 
+# ---------------------------------------------------------------------------
+# Core-split variants: a PARALLEL leading grid dimension for multi-core
+# (megacore) chips.  Each core owns a private copy of the output window
+# (out block indexed by the core id, so Mosaic sees disjoint writes) and a
+# contiguous half of the slab stream; the halves are summed outside.  No
+# coloring is needed at this level -- the private copies make the cores
+# conflict-free by construction, the TPU-idiomatic replacement for the
+# reference's colored racing threads (blockmatrix.jl:232-243).  On
+# single-TensorCore chips (v5e: num_cores == 1) the parallel dimension
+# degenerates to sequential execution, so the split is gated off by
+# default (see _resolve_cores).
+# ---------------------------------------------------------------------------
+
+
+def _kernel_mirror_mc(b8_ref, x128_ref, x8_ref, vals_ref, rs_ref, cs_ref,
+                      fl_ref, y8_ref, y128_ref, *, Sh, S):
+    c = pl.program_id(0)
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _():
+        y8_ref[:] = jnp.zeros_like(y8_ref)
+        y128_ref[:] = jnp.zeros_like(y128_ref)
+
+    @pl.when(c * Sh + s < S)  # the last core's tail steps are no-ops
+    def _():
+        V = vals_ref[:]
+        TS = V.shape[0]
+        R = rs_ref[0].astype(jnp.float32)
+        C = cs_ref[0].astype(jnp.float32)
+        base = b8_ref[jnp.minimum(c * Sh + s, S - 1)]
+
+        xg = jnp.dot(C, x128_ref[:], preferred_element_type=jnp.float32,
+                     precision=HI)
+        yf = jnp.sum(V * xg[:, None, :], axis=2)
+        y8_ref[0, pl.ds(base, RW), :] += jnp.dot(
+            R, yf, preferred_element_type=jnp.float32, precision=HI)
+
+        xw = x8_ref[pl.ds(base, RW), :]
+        xr = jnp.dot(R.T, xw, preferred_element_type=jnp.float32,
+                     precision=HI) * fl_ref[0].reshape(TS, 1)
+        yt = jnp.sum(V * xr[:, :, None], axis=1)
+        y128_ref[0] += jnp.dot(C.T, yt, preferred_element_type=jnp.float32,
+                               precision=HI)
+
+
+def _kernel_plain_mc(b8_ref, x128_ref, vals_ref, rs_ref, cs_ref, y8_ref,
+                     *, Sh, S):
+    c = pl.program_id(0)
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _():
+        y8_ref[:] = jnp.zeros_like(y8_ref)
+
+    @pl.when(c * Sh + s < S)
+    def _():
+        V = vals_ref[:]
+        R = rs_ref[0].astype(jnp.float32)
+        C = cs_ref[0].astype(jnp.float32)
+        base = b8_ref[jnp.minimum(c * Sh + s, S - 1)]
+        xg = jnp.dot(C, x128_ref[:], preferred_element_type=jnp.float32,
+                     precision=HI)
+        yf = jnp.sum(V * xg[:, None, :], axis=2)
+        y8_ref[0, pl.ds(base, RW), :] += jnp.dot(
+            R, yf, preferred_element_type=jnp.float32, precision=HI)
+
+
 @functools.partial(jax.jit, static_argnames=("meta", "interpret"))
 def _launch(dev, x, *, meta, interpret):
-    """meta = (S, TS, NC, n8p, nrows, ncols, mirror)."""
-    S, TS, NC, n8p, nrows, ncols, mirror = meta
+    """meta = (S, TS, NC, n8p, nrows, ncols, mirror, cores)."""
+    S, TS, NC, n8p, nrows, ncols, mirror, cores = meta
     vals, rs, cs, flag, b8 = dev
     xpad = NC * CC - x.shape[0]
     xm = jnp.pad(x, (0, xpad)) if xpad else x
@@ -111,6 +179,9 @@ def _launch(dev, x, *, meta, interpret):
     flops = 2 * vals.size * (2 if mirror else 1)
     bytes_accessed = (vals.size * 4 + rs.size * 2 + cs.size * 2
                       + (NC * CC + n8p * RC) * 4)
+    if cores > 1:
+        return _launch_mc(dev, x128, meta=meta, interpret=interpret,
+                          flops=flops, bytes_accessed=bytes_accessed)
     params = dict(
         grid=(S,),
         compiler_params=pltpu.CompilerParams(
@@ -173,6 +244,80 @@ def _launch(dev, x, *, meta, interpret):
     return y8.reshape(-1)[: nrows].astype(x.dtype)
 
 
+def _launch_mc(dev, x128, *, meta, interpret, flops, bytes_accessed):
+    """Core-split launch: grid (cores, ceil(S/cores)) with a PARALLEL
+    leading dimension; each core writes a private output copy (see the
+    core-split kernel comment above)."""
+    S, TS, NC, n8p, nrows, ncols, mirror, cores = meta
+    vals, rs, cs, flag, b8 = dev
+    Sh = -(-S // cores)
+    x = x128  # [NC, CC]
+
+    def slab_ix(c, s, b):
+        return (jnp.minimum(c * Sh + s, S - 1), 0, 0)
+
+    params = dict(
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+    if mirror:
+        x8pad = n8p * RC - ncols
+        xflat = x.reshape(-1)[:ncols]
+        x8 = (jnp.pad(xflat, (0, x8pad)) if x8pad else xflat).reshape(
+            n8p, RC)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(cores, Sh),
+            in_specs=[
+                pl.BlockSpec((NC, CC), lambda c, s, b: (0, 0)),
+                pl.BlockSpec((n8p, RC), lambda c, s, b: (0, 0)),
+                pl.BlockSpec((TS, RC, CC), slab_ix),
+                pl.BlockSpec((1, RW, TS), slab_ix),
+                pl.BlockSpec((1, TS, NC), slab_ix),
+                pl.BlockSpec((1, 1, TS), slab_ix),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, n8p, RC), lambda c, s, b: (c, 0, 0)),
+                pl.BlockSpec((1, NC, CC), lambda c, s, b: (c, 0, 0)),
+            ],
+        )
+        y8, y128 = pl.pallas_call(
+            functools.partial(_kernel_mirror_mc, Sh=Sh, S=S),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((cores, n8p, RC), jnp.float32),
+                jax.ShapeDtypeStruct((cores, NC, CC), jnp.float32),
+            ],
+            **params,
+        )(b8, x, x8, vals, rs, cs, flag)
+        n = nrows
+        return (y8.sum(axis=0).reshape(-1)[:n]
+                + y128.sum(axis=0).reshape(-1)[:n]).astype(x.dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(cores, Sh),
+        in_specs=[
+            pl.BlockSpec((NC, CC), lambda c, s, b: (0, 0)),
+            pl.BlockSpec((TS, RC, CC), slab_ix),
+            pl.BlockSpec((1, RW, TS), slab_ix),
+            pl.BlockSpec((1, TS, NC), slab_ix),
+        ],
+        out_specs=pl.BlockSpec((1, n8p, RC), lambda c, s, b: (c, 0, 0)),
+    )
+    y8 = pl.pallas_call(
+        functools.partial(_kernel_plain_mc, Sh=Sh, S=S),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((cores, n8p, RC), jnp.float32),
+        **params,
+    )(b8, x, vals, rs, cs)
+    return y8.sum(axis=0).reshape(-1)[:nrows].astype(x.dtype)
+
+
 # ---------------------------------------------------------------------------
 # custom VJP: pallas_call has no AD rule; the operator is linear so the
 # cotangents are exact.  The backward pass uses plain-XLA one-hot matmuls
@@ -182,7 +327,7 @@ def _launch(dev, x, *, meta, interpret):
 
 def _xla_forward(dev, x, meta):
     """Reference-semantics XLA evaluation of the slab plan (also the bwd)."""
-    S, TS, NC, n8p, nrows, ncols, mirror = meta
+    S, TS, NC, n8p, nrows, ncols, mirror = meta[:7]
     vals, rs, cs, flag, b8 = dev
     xpad = NC * CC - x.shape[0]
     xm = jnp.pad(x, (0, xpad)) if xpad else x
@@ -224,7 +369,7 @@ def _slab_vjp_fwd(dev, x, meta, interpret):
 
 def _slab_vjp_bwd(meta, interpret, res, g):
     dev, x = res
-    S, TS, NC, n8p, nrows, ncols, mirror = meta
+    S, TS, NC, n8p, nrows, ncols, mirror = meta[:7]
     vals, rs, cs, flag, b8 = dev
     R = rs.astype(jnp.float32)
     C = cs.astype(jnp.float32)
@@ -280,12 +425,31 @@ def _slab_vjp_bwd(meta, interpret, res, g):
 _slab_vjp.defvjp(_slab_vjp_fwd, _slab_vjp_bwd)
 
 
+def _resolve_cores(interpret: bool) -> int:
+    """Cores for the parallel grid split.  Default: the chip's TensorCore
+    count (v4/v5p: 2 -> megacore split; v5e: 1 -> single sequential grid,
+    since a parallel dimension cannot speed up a one-core chip).
+    BST_SLAB_CORES overrides (e.g. =2 to exercise the split anywhere)."""
+    import os
+
+    env = os.environ.get("BST_SLAB_CORES")
+    if env:
+        return max(1, int(env))
+    if interpret:
+        return 1
+    try:
+        return max(1, int(getattr(jax.devices()[0], "num_cores", 1) or 1))
+    except Exception:
+        return 1
+
+
 def slab_apply(plan: StripPlan, dev, x, *, interpret: bool = False):
     """Apply the slab plan: y = A @ x ([nrows] from [ncols]).
 
     ``dev`` are the device leaves from :func:`plan_device_arrays` (callers
     cache them).  Differentiable in both ``x`` and the tile values.
     """
+    cores = min(_resolve_cores(interpret), plan.S)
     meta = (plan.S, plan.TS, plan.NC, plan.n8p, plan.nrows, plan.ncols,
-            plan.mirror)
+            plan.mirror, cores)
     return _slab_vjp(dev, x, meta, interpret)

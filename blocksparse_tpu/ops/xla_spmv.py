@@ -91,6 +91,7 @@ def bucket_apply(
     scatter_info=None,
     symmetric: bool = False,
     mask_gs: str | None = None,
+    colored_plan=None,
 ):
     """Apply a bucketed block-sparse operand to ``x`` ([n] or [n, r]).
 
@@ -120,6 +121,12 @@ def bucket_apply(
     (ops/pallas/mask_select.py, ~6x faster than XLA's scalar path on
     scattered indices) where a bucket is eligible (f32, r == 1, operand
     lengths within the VMEM-resident cap, enough indices to amortize).
+
+    ``colored_plan``: optional (tables, total) from ops/colored.py -- the
+    colored execution plan.  All scatter-adds are replaced by one dense
+    gather per color over the flattened contributions (requires
+    ``symmetric=False``; see ops/colored.py for why the coloring invariant
+    makes this inverse map well-defined).
     """
     vec = x.ndim == 1
     xm = x[:, None] if vec else x
@@ -157,6 +164,8 @@ def bucket_apply(
                 ..., None]
         return src_ext[idx]
 
+    flat_parts = [] if colored_plan is not None else None
+    flat_mirror = [] if colored_plan is not None and symmetric else None
     for (vals, ridx, cidx), sinfo in zip(buckets, scatter_info):
         v = jnp.conj(vals) if conj else vals
         if transpose and not symmetric:
@@ -169,7 +178,9 @@ def bucket_apply(
         yp = _block_contract(spec, v, xg, r, transpose and not symmetric,
                              acc_dtype, precision)
         ypf = yp.reshape(-1, r)
-        if sinfo is None:
+        if flat_parts is not None:
+            flat_parts.append(ypf)
+        elif sinfo is None:
             if mask_ok and s_ok and scatter_idx.size >= 4096:
                 part = mask_scatter_add(
                     ypf[:, 0], scatter_idx.reshape(-1), out_len,
@@ -192,7 +203,9 @@ def bucket_apply(
             yt = _block_contract("bmk,bmr->bkr", v, xr, r, True,
                                  acc_dtype, precision)
             ytf = yt.reshape(-1, r)
-            if mask_ok and s_ok and cidx.size >= 4096:
+            if flat_mirror is not None:
+                flat_mirror.append(ytf)
+            elif mask_ok and s_ok and cidx.size >= 4096:
                 part = mask_scatter_add(
                     ytf[:, 0], cidx.reshape(-1), out_len, interpret=interp,
                 )
@@ -201,6 +214,25 @@ def bucket_apply(
                 acc = acc.at[cidx.reshape(-1)].add(
                     ytf, indices_are_sorted=False, unique_indices=False,
                 )
+
+    if flat_parts is not None:
+        # colored rounds: y = sum_c contrib[src_table_c] (scatter-free);
+        # symmetric plans lay out all forward parts then all mirror parts
+        # (the order _plan_cached's offsets assume)
+        tables, total = colored_plan
+        all_parts = flat_parts + (flat_mirror or [])
+        contrib = (
+            jnp.concatenate(all_parts, axis=0)
+            if all_parts
+            else jnp.zeros((0, r), dtype=acc_dtype)
+        )
+        contrib_ext = jnp.concatenate(
+            [contrib, jnp.zeros((1, r), dtype=acc_dtype)], axis=0
+        )
+        out = jnp.zeros((out_len, r), dtype=acc_dtype)
+        for t in tables:
+            out = out + contrib_ext[t]
+        return out[:, 0] if vec else out
 
     out = acc[:out_len]
     if extra is not None:
