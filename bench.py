@@ -229,15 +229,35 @@ def main():
 
     # -- config 4: SpMM on config-1 matrix ----------------------------------
     try:
-        X = jnp.asarray(rng.standard_normal((n, 128)).astype(np.float32))
         from blocksparse_tpu.utils.timing import chained_time_per_iter
 
+        r4 = 128
+        X = jnp.asarray(rng.standard_normal((n, r4)).astype(np.float32))
         dtm = chained_time_per_iter(
             lambda V: (A @ V) * 1e-3, X, iters_lo=5, iters_hi=25,
             repeats=7, reduce="stats",
         )
-        log(f"# config4 spmm r=128: {dtm['median']*1e6:.1f} us "
-            f"{spread_us(dtm)}, {2*nnz*128/dtm['median']/1e12:.2f} TFLOP/s")
+        Xp = jnp.asarray(
+            rng.standard_normal((n, r4 * PIPE)).astype(np.float32))
+
+        def piped4(Xc):
+            parts = [A @ Xc[:, i * r4:(i + 1) * r4] for i in range(PIPE)]
+            return jnp.concatenate(parts, axis=1) * 1e-3
+
+        ptm = chained_time_per_iter(
+            piped4, Xp, iters_lo=3, iters_hi=10, repeats=7, reduce="stats",
+        )
+        ptm = {k: (v / PIPE if k != "n" else v) for k, v in ptm.items()}
+        # SpMM at r=128 is still HBM-bound here (AI ~ 64 flop/byte but the
+        # operand is tiny): floor = vals + X + Y traffic
+        m4_bytes = nnz * 4 + 2 * n * r4 * 4
+        roof4 = m4_bytes / bw
+        log(f"# config4 spmm r={r4}: piped {ptm['median']*1e6:.1f} us "
+            f"{spread_us(ptm)} = {100*roof4/ptm['median']:.1f}% of roofline,"
+            f" {2*nnz*r4/ptm['median']/1e12:.2f} TFLOP/s | dep "
+            f"{dtm['median']*1e6:.1f} us {spread_us(dtm)} = "
+            f"{100*roof4/dtm['median']:.1f}%, "
+            f"{2*nnz*r4/dtm['median']/1e12:.2f} TFLOP/s")
     except Exception as e:
         log(f"# config4 failed: {e}")
 
