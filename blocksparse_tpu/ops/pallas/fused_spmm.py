@@ -56,6 +56,28 @@ def _round_up(a, b):
     return _cdiv(a, b) * b
 
 
+def _dot3(a, b, dims, acc_dtype):
+    """Split-bf16 3-pass dot: emulates Precision.HIGH inside the kernel.
+
+    Mosaic lowers only DEFAULT/HIGHEST in-kernel; HIGHEST costs 6 bf16
+    passes per f32 dot.  The bf16x3 decomposition (a = ah + al exactly in
+    the bf16 hi/lo split) reproduces XLA's HIGH (~1e-6 relative, the
+    documented on-TPU tolerance) at half the MXU passes:
+        a @ b ~= ah@bh + ah@bl + al@bh       (al@bl ~ 2^-32, dropped)
+    """
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(a.dtype)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(b.dtype)).astype(jnp.bfloat16)
+
+    def d(u, v):
+        return jax.lax.dot_general(
+            u, v, dims, preferred_element_type=acc_dtype, precision=None
+        )
+
+    return d(ah, bh) + d(ah, bl) + d(al, bh)
+
+
 def _kernel(
     # scalar prefetch
     out_chunk_ref,  # [nb, sc] int32: y scatter chunk indices
@@ -75,6 +97,7 @@ def _kernel(
     symmetric: bool,
     acc_dtype,
     precision,
+    split3: bool = False,
 ):
     step = pl.program_id(1)
 
@@ -84,6 +107,13 @@ def _kernel(
 
     C = chunk
     mpc, kpc = mp // C, kp // C
+
+    def dot(a, b, dims):
+        if split3:
+            return _dot3(a, b, dims, acc_dtype)
+        return jax.lax.dot_general(
+            a, b, dims, preferred_element_type=acc_dtype, precision=precision
+        )
 
     def x_chunk(table_ref, b, j):
         start = pl.multiple_of(table_ref[b, j] * C, C)
@@ -103,10 +133,10 @@ def _kernel(
                 # y[rows] += B @ x[cols] : accumulate over col chunks
                 y = jnp.zeros((mp, x_ref.shape[1]), acc_dtype)
                 for j in range(kpc):
-                    y += jax.lax.dot_general(
-                        blk[:, j * C : (j + 1) * C], x_chunk(in_chunk_ref, b, j),
+                    y += dot(
+                        blk[:, j * C : (j + 1) * C],
+                        x_chunk(in_chunk_ref, b, j),
                         (((1,), (0,)), ((), ())),
-                        preferred_element_type=acc_dtype, precision=precision,
                     )
                 for j in range(mpc):
                     out_rmw(out_chunk_ref, b, j, y[j * C : (j + 1) * C, :])
@@ -114,10 +144,10 @@ def _kernel(
                 # y[cols] += B^T @ x[rows] : contract over the row axis
                 y = jnp.zeros((kp, x_ref.shape[1]), acc_dtype)
                 for j in range(mpc):
-                    y += jax.lax.dot_general(
-                        blk[j * C : (j + 1) * C, :], x_chunk(in_chunk_ref, b, j),
+                    y += dot(
+                        blk[j * C : (j + 1) * C, :],
+                        x_chunk(in_chunk_ref, b, j),
                         (((0,), (0,)), ((), ())),
-                        preferred_element_type=acc_dtype, precision=precision,
                     )
                 for j in range(kpc):
                     out_rmw(out_chunk_ref, b, j, y[j * C : (j + 1) * C, :])
@@ -128,10 +158,10 @@ def _kernel(
                 # the second scatter is race-free by construction.
                 yt = jnp.zeros((kp, x_ref.shape[1]), acc_dtype)
                 for j in range(mpc):
-                    yt += jax.lax.dot_general(
-                        blk[j * C : (j + 1) * C, :], x_chunk(out_chunk_ref, b, j),
+                    yt += dot(
+                        blk[j * C : (j + 1) * C, :],
+                        x_chunk(out_chunk_ref, b, j),
                         (((0,), (0,)), ((), ())),
-                        preferred_element_type=acc_dtype, precision=precision,
                     )
                 for j in range(kpc):
                     out_rmw(in_chunk_ref, b, j, yt[j * C : (j + 1) * C, :])
@@ -274,6 +304,15 @@ def chunked_block_apply(
         ),
     )
 
+    # Mosaic lowers only DEFAULT/HIGHEST in-kernel; "high" runs as the
+    # split-bf16 3-pass emulation (_dot3) -- same ~1e-6 accuracy class as
+    # XLA's Precision.HIGH at half the passes of HIGHEST.
+    split3 = (
+        precision is not None
+        and jax.lax.Precision(precision) == jax.lax.Precision.HIGH
+        and acc_dtype == jnp.float32
+        and vals.dtype == jnp.float32
+    )
     kernel = functools.partial(
         _kernel,
         nb=nb,
@@ -284,7 +323,9 @@ def chunked_block_apply(
         transpose=transpose,
         symmetric=symmetric,
         acc_dtype=acc_dtype,
-        precision=jax.lax.Precision(precision) if precision else None,
+        precision=(None if split3
+                   else jax.lax.Precision(precision) if precision else None),
+        split3=split3,
     )
 
     flops = 2 * nb * mp * kp * r_pad * (2 if symmetric else 1)

@@ -158,3 +158,37 @@ def test_scattered_bucket_falls_back(rng):
     S = bst.to_scipy(A)
     x = rng.standard_normal(8).astype(np.float32)
     assert relerr(A @ x, S @ x) < TOL32
+
+
+def test_precision_high_split3(rng):
+    """precision="high" runs the in-kernel split-bf16 3-pass emulation
+    (_dot3; Mosaic cannot lower Precision.HIGH) -- must stay in the ~1e-6
+    relative-accuracy class of XLA's HIGH, far better than DEFAULT's
+    single bf16 pass (measured on-chip: 23.9 us vs highest's 31.2 us at
+    4.6e-6 rel err on the config-4 population)."""
+    nb, mp, kp, N, C, r = 12, 16, 32, 304, 8, 8
+    vals = rng.standard_normal((nb, mp, kp)).astype(np.float32)
+    rs = (rng.integers(0, (N - mp) // C, nb) * C).astype(np.int32)
+    cs = (rng.integers(0, (N - kp) // C, nb) * C).astype(np.int32)
+    rc, cc = _tables(rs, mp, C), _tables(cs, kp, C)
+    X = rng.standard_normal((N, r)).astype(np.float32)
+
+    ref = np.zeros((N, r), np.float64)
+    for b in range(nb):
+        ref[rs[b]: rs[b] + mp] += (
+            vals[b].astype(np.float64) @ X[cs[b]: cs[b] + kp]
+        )
+    y = chunked_block_apply(
+        jnp.asarray(vals), jnp.asarray(rc), jnp.asarray(cc), C,
+        jnp.asarray(X), N, interpret=True, precision="high",
+    )
+    assert relerr(y, ref) < 1e-4
+    # and through the operator API end to end
+    A = bst.BlockSparseMatrix(
+        [vals[b] for b in range(nb)],
+        [np.arange(rs[b], rs[b] + mp) for b in range(nb)],
+        [np.arange(cs[b], cs[b] + kp) for b in range(nb)],
+        (N, N), backend="pallas-interpret", precision="high",
+    )
+    S = bst.to_scipy(A)
+    assert relerr(np.asarray(A @ jnp.asarray(X)), S @ X) < 1e-4
