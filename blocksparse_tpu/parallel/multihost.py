@@ -12,7 +12,43 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["init", "global_row_mesh"]
+__all__ = ["init", "global_row_mesh", "cpu_local_cluster", "replicate"]
+
+
+def cpu_local_cluster(num_local_devices: int = 4) -> None:
+    """Configure THIS process as one member of a multi-process CPU cluster.
+
+    The standard JAX recipe for testing multi-host code without a pod:
+    every participating process calls this, then :func:`init` with the same
+    coordinator and its own ``process_id``; the processes federate into one
+    cluster whose global device count is ``num_processes x
+    num_local_devices``, and cross-process collectives run over gloo (the
+    DCN stand-in).  Must run before any array is created.
+
+    Exercised end to end by ``tests/test_multihost.py``: two OS processes,
+    eight global devices, halo ``ppermute``s crossing the process boundary.
+    """
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", num_local_devices)
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+
+def replicate(a, mesh):
+    """Host array -> globally-replicated jax.Array on ``mesh``.
+
+    Multi-process meshes contain non-addressable devices; plain
+    ``jnp.asarray`` yields a process-local array that collective programs
+    reject.  Every process must call this with the SAME host values (the
+    standard same-on-all-hosts contract).
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    return jax.device_put(
+        np.asarray(a), NamedSharding(mesh, PartitionSpec())
+    )
 
 
 def init(coordinator_address: str | None = None,
