@@ -88,6 +88,12 @@ class _Meta:
     # -1 = group absent, 1 = element tables, C>1 = chunk tables.
     part_kinds: tuple[str, ...]
     part_chunks: tuple[tuple[tuple[int, int], ...], ...]
+    # optional second mesh axis sharding RHS columns for SpMM (2-D mesh:
+    # block-rows x RHS-columns, SURVEY.md §2 parallelism table).  The
+    # shard_map body is column-agnostic and its collectives name only the
+    # row axis, so each RHS column group runs its own independent halo
+    # ring -- no extra collectives.
+    rhs_axis: str | None = None
 
     @property
     def S(self) -> int:
@@ -119,12 +125,17 @@ class DistributedBlockOperator(LinearOperator):
     instances.
     """
 
-    def __init__(self, op: LinearOperator, mesh: Mesh, axis: str = "rows"):
+    def __init__(self, op: LinearOperator, mesh: Mesh, axis: str = "rows",
+                 rhs_axis: str | None = None):
         base, tr, cj = _resolve(op)
         if tr or cj:
             raise ValueError(
                 "construct from the base operator and wrap lazily: "
                 "distribute(A).T instead of distribute(A.T)"
+            )
+        if rhs_axis is not None and rhs_axis not in mesh.shape:
+            raise ValueError(
+                f"rhs_axis {rhs_axis!r} not in mesh axes {tuple(mesh.shape)}"
             )
         S = mesh.shape[axis]
         m, n = map(int, base.shape)
@@ -207,7 +218,7 @@ class DistributedBlockOperator(LinearOperator):
             cols_per=cols_per, Hr=row_halo.halo_chunks,
             Hc=col_halo.halo_chunks, row_dists=row_halo.dists,
             col_dists=col_halo.dists, part_kinds=tuple(kinds),
-            part_chunks=tuple(chunks),
+            part_chunks=tuple(chunks), rhs_axis=rhs_axis,
         )
 
     # -- pytree --------------------------------------------------------------
@@ -259,13 +270,24 @@ class DistributedBlockOperator(LinearOperator):
             xl = jnp.pad(xl, ((0, pad), (0, 0)))
 
         axis = mt.axis
-        body = self._shard_body(transpose, xl.shape[1], xl.dtype)
+        r = xl.shape[1]
+        rhs = mt.rhs_axis if (mt.rhs_axis is not None and not vec) else None
+        if rhs is not None:
+            R = mt.mesh.shape[rhs]
+            r_pad = -(-r // R) * R
+            if r_pad != r:
+                xl = jnp.pad(xl, ((0, 0), (0, r_pad - r)))
+            body = self._shard_body(transpose, r_pad // R, xl.dtype)
+            x_spec, y_spec = P(axis, rhs), P(axis, rhs)
+        else:
+            body = self._shard_body(transpose, r, xl.dtype)
+            x_spec, y_spec = P(axis, None), P(axis, None)
         fn = jax.shard_map(
             body, mesh=mt.mesh,
-            in_specs=(P(axis, None),) + (P(axis),) * len(self._flat_leaves()),
-            out_specs=P(axis, None),
+            in_specs=(x_spec,) + (P(axis),) * len(self._flat_leaves()),
+            out_specs=y_spec,
         )
-        y = fn(xl, *self._flat_leaves())[:out_len]
+        y = fn(xl, *self._flat_leaves())[:out_len, :r]
         return y[:, 0] if vec else y
 
     def _flat_leaves(self):
@@ -418,6 +440,12 @@ def distribute(op: LinearOperator, mesh: Mesh, axis: str = "rows", **kw):
     Lazy wrappers are resolved and re-applied on top of the distributed
     base operator, so ``distribute(A.T) @ x == distribute(A).T @ x`` with a
     single on-device copy of A either way.
+
+    ``rhs_axis=`` names a second mesh axis that shards SpMM RHS columns
+    (2-D block-rows x RHS-columns mesh): matrix data replicates across it,
+    each RHS column group runs its own independent halo ring, and products
+    with 2-D ``x`` return outputs sharded over both axes.  SpMV and 1-D
+    inputs ignore it.
     """
     base, tr, cj = _resolve(op)
     D = DistributedBlockOperator(base, mesh, axis, **kw)

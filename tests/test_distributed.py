@@ -196,3 +196,28 @@ def test_spmm_wide_rhs(rng):
     D = distribute(S_op, mesh_of(8))
     X = rng.standard_normal((shape[1], 64))
     assert relerr(D.mm(X), S_op @ X) < TOL
+
+
+def test_2d_mesh_spmm(rng):
+    """2-D block-rows x RHS-columns mesh: matrix replicates over the rhs
+    axis, each RHS column group runs its own halo ring, output comes back
+    sharded over both axes (docs/distributed.md '2-D meshes for SpMM')."""
+    devs = jax.devices()
+    mesh2 = Mesh(np.array(devs[:8]).reshape(4, 2), ("rows", "rhs"))
+    blocks, rows, cols, shape = random_block_sparse(
+        17, shape=(512, 512), nblocks=24, dtype=np.float64, contiguous=True
+    )
+    A = bst.BlockSparseMatrix(blocks, rows, cols, shape, backend="xla")
+    S = bst.to_scipy(A)
+    D = distribute(A, mesh2, rhs_axis="rhs")
+
+    X = rng.standard_normal((shape[1], 6))  # r=6: pads to 8 (2 shards of 4)
+    Y = D @ jnp.asarray(X)
+    assert Y.shape == (shape[0], 6)
+    assert relerr(Y, S @ X) < TOL
+    # transpose products ride the same 2-D layout
+    Yt = D.T @ jnp.asarray(X)
+    assert relerr(Yt, S.T @ X) < TOL
+    # SpMV ignores the rhs axis
+    x = rng.standard_normal(shape[1])
+    assert relerr(D @ jnp.asarray(x), S @ x) < TOL
