@@ -258,6 +258,15 @@ def main():
             f"{dtm['median']*1e6:.1f} us {spread_us(dtm)} = "
             f"{100*roof4/dtm['median']:.1f}%, "
             f"{2*nnz*r4/dtm['median']/1e12:.2f} TFLOP/s")
+        # the 3-pass split-bf16 tier (docs/performance.md precision table)
+        Ah = build_config1(precision="high")
+        dth = chained_time_per_iter(
+            lambda V: (Ah @ V) * 1e-3, X, iters_lo=5, iters_hi=25,
+            repeats=7, reduce="stats",
+        )
+        log(f"# config4 precision=high: {dth['median']*1e6:.1f} us "
+            f"{spread_us(dth)} = {100*roof4/dth['median']:.1f}%, "
+            f"{2*nnz*r4/dth['median']/1e12:.2f} TFLOP/s (~1e-6 rel)")
     except Exception as e:
         log(f"# config4 failed: {e}")
 
@@ -321,6 +330,9 @@ def main():
 
         for r_cols in (1, 128):
             rep = autotune_backend(A, r=r_cols, set_policy=False)
+            if rep["xla_us"] is None:
+                log(f"# auto-policy {rep['kind']}: {rep['note']}")
+                continue
             agree = rep["winner"] == _MEASURED_DEFAULT[rep["kind"]]
             log(
                 f"# auto-policy {rep['kind']}: xla {rep['xla_us']:.1f} us vs"

@@ -130,7 +130,14 @@ def _plan_cached(layout, colors, out_len: int, transpose: bool,
 
 def build_colored_plan(layout, colors, out_len: int, transpose: bool,
                        bucket_sel, symmetric: bool = False):
-    """Device-ready colored gather plan or None (see ``_plan_cached``)."""
+    """Device-ready colored gather plan or None (see ``_plan_cached``).
+
+    Only the HOST tables are cached (``_plan_cached``): this function runs
+    during jit tracing (all operator applications go through the formats'
+    jitted apply), so the ``jnp.asarray`` below creates compile-time
+    constants -- caching the converted arrays here would store tracers in
+    the lru cache and leak them into later traces.
+    """
     import jax.numpy as jnp
 
     plan = _plan_cached(layout, colors, out_len, bool(transpose),

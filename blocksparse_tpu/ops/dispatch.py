@@ -60,6 +60,14 @@ def auto_policy(kind: str) -> str:
     BST_LOG_DISPATCH=1 logs each (kind, policy, source) decision once.
     """
     env = os.environ.get(f"BST_AUTO_{kind.upper()}")
+    if env is not None and env not in ("xla", "pallas"):
+        import warnings
+
+        warnings.warn(
+            f"BST_AUTO_{kind.upper()}={env!r} is not one of 'xla'/'pallas';"
+            " ignoring the override and using the measured default"
+        )
+        env = None
     src = "env/autotune" if env in ("xla", "pallas") else "measured default"
     policy = env if env in ("xla", "pallas") else _MEASURED_DEFAULT[kind]
     if os.environ.get("BST_LOG_DISPATCH") and (kind, policy) not in _policy_logged:

@@ -431,14 +431,31 @@ def _resolve_cores(interpret: bool) -> int:
     since a parallel dimension cannot speed up a one-core chip).
     BST_SLAB_CORES overrides (e.g. =2 to exercise the split anywhere)."""
     import os
+    import warnings
 
     env = os.environ.get("BST_SLAB_CORES")
     if env:
-        return max(1, int(env))
+        try:
+            return max(1, int(env))
+        except ValueError:
+            warnings.warn(
+                f"BST_SLAB_CORES={env!r} is not an int; ignoring override"
+            )
     if interpret:
         return 1
     try:
-        return max(1, int(getattr(jax.devices()[0], "num_cores", 1) or 1))
+        dev = jax.devices()[0]
+        nc = getattr(dev, "num_cores", None)
+        if nc:
+            return max(1, int(nc))
+        # PjRt device objects do not reliably expose num_cores; fall back
+        # to the known megacore generations by device_kind string
+        kind = str(getattr(dev, "device_kind", "")).lower()
+        if "v4" in kind or "v5p" in kind or ("v5" in kind
+                                             and "lite" not in kind
+                                             and "e" not in kind):
+            return 2
+        return 1
     except Exception:
         return 1
 

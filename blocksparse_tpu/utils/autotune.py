@@ -47,11 +47,44 @@ def autotune_backend(A, r: int = 1, *, repeats: int = 5,
     written to BST_AUTO_SPMV / BST_AUTO_SPMM so every subsequent
     backend="auto" dispatch in this process uses the measured choice.
     """
+    import jax
     import jax.numpy as jnp
 
     from .timing import chained_time_per_iter
 
     kind = "spmv" if r == 1 else "spmm"
+    if A.shape[0] != A.shape[1]:
+        raise ValueError(
+            "autotune_backend probes with a chained timer that feeds the "
+            f"product back as input: requires a square operator, got "
+            f"{A.shape}"
+        )
+    if jax.default_backend() != "tpu":
+        raise RuntimeError(
+            "autotune_backend measures the TPU engines; current backend is "
+            f"{jax.default_backend()!r}"
+        )
+    # Guard against timing XLA vs XLA: if no bucket is Pallas-eligible and
+    # the slab path cannot engage either, both legs compile the identical
+    # program and the 'winner' would be relay noise fossilized as policy.
+    from ..ops.dispatch import _bucket_eligible
+
+    layout = getattr(A, "layout", None) or getattr(A, "_layout", None)
+    any_pallas = layout is not None and any(
+        _bucket_eligible(hb, A.shape[1], A.shape[0], r, False,
+                         np.dtype(np.float32))
+        for hb in layout.buckets
+    )
+    if not any_pallas and r == 1:
+        any_pallas = getattr(A, "_strip_for", lambda t: None)(False) is not None
+    if not any_pallas:
+        return {
+            "kind": kind, "xla_us": None, "pallas_us": None,
+            "winner": "xla", "applied": False,
+            "note": "no Pallas-eligible buckets: both legs would time the "
+                    "identical XLA program; policy left unchanged",
+        }
+
     rng = np.random.default_rng(0)
     n = A.shape[1]
     x = jnp.asarray(

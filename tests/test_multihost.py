@@ -39,9 +39,17 @@ def test_two_process_cluster():
         for pid in range(2)
     ]
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=280)
-        outs.append(out)
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=280)
+            outs.append(out)
+    finally:
+        # a worker that lost its peer blocks in distributed.initialize
+        # forever -- never leak it past the test
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     for pid, (p, out) in enumerate(zip(procs, outs)):
         tail = "\n".join(out.splitlines()[-15:])
         assert p.returncode == 0, f"worker {pid} failed:\n{tail}"
