@@ -54,8 +54,10 @@ from .interop.scipy_io import (
     sparse,
     to_scipy,
 )
+from .interop.bcoo import from_bcoo, to_bcoo
 from .interop.serialize import load, save
 from .interop.viz import blocksummary, show, spy
+from .solvers import SolveInfo, bicgstab, cg, gmres
 
 __version__ = "0.1.0"
 
@@ -102,4 +104,11 @@ __all__ = [
     "spy",
     "show",
     "blocksummary",
+    "to_bcoo",
+    "from_bcoo",
+    # solvers
+    "cg",
+    "bicgstab",
+    "gmres",
+    "SolveInfo",
 ]

@@ -111,21 +111,33 @@ def from_dense(
     D = np.asarray(D)
     m, n = D.shape
     blocks, rows, cols = [], [], []
-    bs = block_size
-    for bi in range(0, m, bs):
-        for bj in range(0, n, bs):
-            tile = D[bi : bi + bs, bj : bj + bs]
+    bm, bn = _tile_shape(block_size)
+    for bi in range(0, m, bm):
+        for bj in range(0, n, bn):
+            tile = D[bi : bi + bm, bj : bj + bn]
             if not np.any(np.abs(tile) > tol):
                 continue
             blocks.append(tile if dtype is None else tile.astype(dtype))
-            rows.append(np.arange(bi, min(bi + bs, m)))
-            cols.append(np.arange(bj, min(bj + bs, n)))
+            rows.append(np.arange(bi, min(bi + bm, m)))
+            cols.append(np.arange(bj, min(bj + bn, n)))
     return BlockSparseMatrix(blocks, rows, cols, (m, n), **kwargs)
 
 
-def from_scipy_blocks(S, block_size: int, *, dtype=None, **kwargs) -> BlockSparseMatrix:
+def _tile_shape(block_size) -> tuple:
+    """Normalize an int or (rows, cols) pair to a tile shape."""
+    if np.ndim(block_size) == 0:
+        bm = bn = int(block_size)
+    else:
+        bm, bn = (int(b) for b in block_size)
+    if bm < 1 or bn < 1:
+        raise ValueError(f"block_size must be positive, got {block_size!r}")
+    return bm, bn
+
+
+def from_scipy_blocks(S, block_size, *, dtype=None, **kwargs) -> BlockSparseMatrix:
     """Build a BlockSparseMatrix by tiling a scipy sparse matrix into uniform
-    ``block_size`` x ``block_size`` dense blocks (nonempty tiles only).
+    dense blocks (nonempty tiles only).  ``block_size`` is an int or a
+    ``(rows, cols)`` pair.
 
     Convenience constructor with no direct reference equivalent; useful for
     benchmarks and for importing general sparse operators.
@@ -135,14 +147,14 @@ def from_scipy_blocks(S, block_size: int, *, dtype=None, **kwargs) -> BlockSpars
     S = sp.csr_array(S)
     m, n = S.shape
     blocks, rows, cols = [], [], []
-    bs = block_size
-    for bi in range(0, m, bs):
-        for bj in range(0, n, bs):
-            tile = S[bi : bi + bs, bj : bj + bs]
+    bm, bn = _tile_shape(block_size)
+    for bi in range(0, m, bm):
+        for bj in range(0, n, bn):
+            tile = S[bi : bi + bm, bj : bj + bn]
             if tile.nnz == 0:
                 continue
             dense = np.asarray(tile.todense())
             blocks.append(dense if dtype is None else dense.astype(dtype))
-            rows.append(np.arange(bi, min(bi + bs, m)))
-            cols.append(np.arange(bj, min(bj + bs, n)))
+            rows.append(np.arange(bi, min(bi + bm, m)))
+            cols.append(np.arange(bj, min(bj + bn, n)))
     return BlockSparseMatrix(blocks, rows, cols, (m, n), **kwargs)
