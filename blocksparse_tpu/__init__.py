@@ -57,6 +57,7 @@ from .interop.scipy_io import (
 from .interop.bcoo import from_bcoo, to_bcoo
 from .interop.serialize import load, save
 from .interop.viz import blocksummary, show, spy
+from .precond import DiagonalOperator, block_jacobi, jacobi
 from .solvers import SolveInfo, bicgstab, cg, gmres
 
 __version__ = "0.1.0"
@@ -111,4 +112,8 @@ __all__ = [
     "bicgstab",
     "gmres",
     "SolveInfo",
+    # preconditioners
+    "jacobi",
+    "block_jacobi",
+    "DiagonalOperator",
 ]

@@ -72,13 +72,18 @@ def main():
           f"({100 * bst.nnz(S) / npts**2:.1f}% of dense), "
           f"{S.noffdiagonals} off-diagonal blocks stored once")
 
-    # right-hand side and solve (Jacobi-ish preconditioning via diagonal)
+    # right-hand side and solve: first-class CG, block-Jacobi preconditioned
+    # (the preconditioner inverts the stored diagonal blocks and is itself a
+    # BlockSparseMatrix, so both operators in the loop run on the MXU)
     b = rng.standard_normal(npts).astype(np.float32)
-    import jax.scipy.sparse.linalg as spla
-
-    x, _ = spla.cg(lambda v: S @ v, b, tol=1e-6, maxiter=400)
+    x_plain, info_plain = bst.cg(S, b, tol=1e-6, maxiter=400)
+    M = bst.block_jacobi(S)
+    x, info = bst.cg(S, b, tol=1e-6, maxiter=400, M=M)
     res = float(np.max(np.abs(np.asarray(S @ x) - b)))
-    print(f"CG residual (inf-norm): {res:.2e}")
+    print(
+        f"CG residual (inf-norm): {res:.2e} in {int(info.iterations)} iters "
+        f"with block-Jacobi (vs {int(info_plain.iterations)} unpreconditioned)"
+    )
 
     # cross-format: convert to VBCRS for the contiguous fast path
     V = bst.VariableBlockCompressedRowStorage.from_symmetric(S)
@@ -97,7 +102,7 @@ def main():
 
         mesh = Mesh(np.array(devs), ("rows",))
         D = distribute(S, mesh)
-        xd, _ = spla.cg(D.matvec_closure(), b, tol=1e-6, maxiter=400)
+        xd, _ = bst.cg(D, b, tol=1e-6, maxiter=400)
         resd = float(np.max(np.abs(np.asarray(S @ xd) - b)))
         print(
             f"distributed CG on {len(devs)} devices: residual {resd:.2e}, "
