@@ -170,17 +170,123 @@ def bicgstab(A, b, *, x0=None, tol=1e-6, atol=0.0, maxiter=None, M=None):
     return x, SolveInfo(k, res, res <= thresh)
 
 
-def gmres(A, b, *, x0=None, tol=1e-6, atol=0.0, restart=20, maxiter=None, M=None):
-    """Restarted GMRES; delegates the Arnoldi machinery to
-    ``jax.scipy.sparse.linalg.gmres`` but accepts operators/preconditioners
-    in any of this module's forms and reports a true-residual SolveInfo
-    (iteration count is not observable through jax.scipy and reports -1).
+def gmres(A, b, *, x0=None, tol=1e-6, atol=0.0, restart=20, maxiter=None,
+          M=None):
+    """Restarted GMRES(m): native Arnoldi + Givens implementation.
+
+    A full ``lax.while_loop`` program (no delegation): per restart cycle the
+    Krylov basis is built with classical Gram-Schmidt with one
+    reorthogonalization pass (CGS2 -- two [m, n] matmuls per step, the
+    accelerator-friendly equivalent of modified Gram-Schmidt's n sequential
+    axpys), the Hessenberg column is rotated into triangular form with
+    Givens rotations so the residual norm is tracked for free, and the inner
+    loop exits early on convergence or lucky breakdown.
+
+    ``M`` is a LEFT preconditioner approximating ``A^{-1}``: the iteration
+    runs on ``M A x = M b`` and converges when the *preconditioned* residual
+    meets ``max(tol * ||M b||, atol)`` (SciPy semantics).  The returned
+    ``SolveInfo`` reports the TRUE residual ``||b - A x||`` and the number
+    of inner (matvec) iterations actually performed; ``converged`` reflects
+    the preconditioned test.  Works for real and complex dtypes;
+    jit-compatible (static shapes: the basis buffer is [restart+1, n]).
+
+    Returns ``(x, SolveInfo)``.
     """
     mv, pre = as_matvec(A), _as_precond(M)
     b = jnp.asarray(b)
-    thresh = _tolerance(b, tol, atol)
-    x, _ = jax.scipy.sparse.linalg.gmres(
-        mv, b, x0=x0, tol=tol, atol=atol, restart=restart, maxiter=maxiter, M=pre
-    )
-    res = jnp.linalg.norm(b - mv(x))
-    return x, SolveInfo(jnp.int32(-1), res, res <= thresh)
+    n = b.shape[0]
+    m = int(min(restart, n))
+    if maxiter is None:
+        maxiter = 10 * n
+    x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0).astype(b.dtype)
+    rdt = jnp.real(b).dtype
+    pb = pre(b)
+    thresh = jnp.maximum(tol * jnp.linalg.norm(pb), atol).astype(rdt)
+    eps = jnp.finfo(rdt).eps
+    total_cycles = -(-maxiter // m)
+
+    def cycle(carry):
+        it, x, _resnorm, done = carry
+        r = pre(b - mv(x))
+        beta = jnp.linalg.norm(r).astype(rdt)
+        V = jnp.zeros((m + 1, n), b.dtype)
+        V = V.at[0].set(jnp.where(beta > 0, r / beta.astype(b.dtype), r))
+        H = jnp.zeros((m + 1, m), b.dtype)   # rotated (triangular) columns
+        cs = jnp.zeros((m,), b.dtype)
+        sn = jnp.zeros((m,), b.dtype)
+        g = jnp.zeros((m + 1,), b.dtype).at[0].set(beta.astype(b.dtype))
+
+        def inner_cond(s):
+            j, *_ , res, brk = s
+            return (j < m) & (res > thresh) & (~brk) & (it + j < maxiter)
+
+        def inner_body(s):
+            j, V, H, cs, sn, g, _res, _brk = s
+            w = pre(mv(V[j]))
+            # CGS2: rows > j of V are zero, so the full-matrix projections
+            # are exact and need no masking
+            h1 = jnp.conj(V) @ w
+            w = w - V.T @ h1
+            h2 = jnp.conj(V) @ w
+            w = w - V.T @ h2
+            h = h1 + h2
+            hnorm = jnp.linalg.norm(w).astype(rdt)
+            # lucky breakdown: the Krylov space is invariant; finish this
+            # column (its rotation is trivial) and exit the cycle
+            brk = hnorm <= eps * 100 * (jnp.linalg.norm(h).astype(rdt) + 1)
+            V = V.at[j + 1].set(jnp.where(
+                brk, jnp.zeros_like(w),
+                w / jnp.where(brk, 1.0, hnorm).astype(b.dtype)))
+            h = h.at[j + 1].set(jnp.where(brk, 0.0, hnorm).astype(b.dtype))
+
+            # apply the previous rotations to the new column
+            def rot(i, hv):
+                hi = cs[i] * hv[i] + sn[i] * hv[i + 1]
+                hj = -jnp.conj(sn[i]) * hv[i] + jnp.conj(cs[i]) * hv[i + 1]
+                return hv.at[i].set(jnp.where(i < j, hi, hv[i])).at[i + 1].set(
+                    jnp.where(i < j, hj, hv[i + 1]))
+
+            h = lax.fori_loop(0, m, rot, h)
+            # new rotation zeroing h[j+1]
+            a_, b_ = h[j], h[j + 1]
+            denom = jnp.sqrt(jnp.abs(a_) ** 2 + jnp.abs(b_) ** 2)
+            safe = jnp.where(denom > 0, denom, 1.0).astype(rdt)
+            c_new = (jnp.abs(a_) / safe).astype(b.dtype)
+            phase = jnp.where(jnp.abs(a_) > 0, a_ / jnp.abs(a_).astype(b.dtype),
+                              jnp.ones((), b.dtype))
+            s_new = phase * jnp.conj(b_) / safe.astype(b.dtype)
+            h = h.at[j].set(c_new * a_ + s_new * b_).at[j + 1].set(0)
+            H = H.at[:, j].set(h)
+            cs = cs.at[j].set(c_new)
+            sn = sn.at[j].set(s_new)
+            gj = g[j]
+            g = g.at[j].set(c_new * gj).at[j + 1].set(-jnp.conj(s_new) * gj)
+            res = jnp.abs(g[j + 1]).astype(rdt)
+            return (j + 1, V, H, cs, sn, g, res, brk)
+
+        j_end, V, H, cs, sn, g, res, _brk = lax.while_loop(
+            inner_cond, inner_body,
+            (jnp.int32(0), V, H, cs, sn, g, beta, jnp.bool_(False)))
+
+        # back-substitution on the rotated (triangular) H: pad unused rows
+        # with an identity diagonal so y[j_end:] = 0
+        idx = jnp.arange(m)
+        used = idx < j_end
+        R = H[:m, :m]
+        R = jnp.where(used[:, None] & used[None, :], R,
+                      jnp.eye(m, dtype=b.dtype))
+        rhs = jnp.where(used, g[:m], jnp.zeros_like(g[:m]))
+        y = jax.scipy.linalg.solve_triangular(R, rhs, lower=False)
+        x = x + V[:m].T @ y
+        done = res <= thresh
+        return (it + j_end, x, res, done)
+
+    def outer_cond(c):
+        it, _x, _res, done = c
+        return (it < maxiter) & (~done)
+
+    it, x, _res, done = lax.while_loop(
+        outer_cond, cycle,
+        (jnp.int32(0), x, jnp.array(jnp.inf, rdt), jnp.bool_(False)))
+    res_true = jnp.linalg.norm(b - mv(x))
+    return x, SolveInfo(it, res_true, done)

@@ -1,0 +1,206 @@
+"""Patch-merged layout + engine vs dense oracle (f32 tolerances).
+
+The patch plan re-tiles contiguous-range block populations into ragged
+row-window merged slots (core/patch.py).  Oracle pattern follows the
+reference tests (test_blockmatrix.jl:33-82) at f32 tolerance.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from blocksparse_tpu.core.layout import build_layout
+from blocksparse_tpu.core.patch import CC, CR, build_patch_plan
+from blocksparse_tpu.ops.patch_engine import (
+    patch_apply, patch_device_arrays, patch_spmm, patch_spmm_xla, patch_spmv,
+)
+
+TOL = 2e-5
+
+
+def random_population(seed, n=1024, nblocks=40, wmin=9, wmax=120,
+                      shared_rows=True):
+    """Contiguous-range blocks, BEM-like mixed sizes; returns lists + dense."""
+    rng = np.random.default_rng(seed)
+    blocks, rows, cols = [], [], []
+    dense = np.zeros((n, n), np.float32)
+    # a handful of row groups so the merge has something to merge
+    starts = np.sort(rng.choice(n - wmax - 1, size=12, replace=False))
+    # one height per row group: blocks sharing a row range share its height
+    # (the realistic structure: BEM tree leaves / VBCRS block rows)
+    heights = rng.integers(wmin, wmax, size=len(starts))
+    for _ in range(nblocks):
+        w = int(rng.integers(wmin, wmax))
+        if shared_rows:
+            gi = int(rng.integers(len(starts)))
+            rs = int(starts[gi])
+            h = int(min(heights[gi], n - rs))
+        else:
+            h = int(rng.integers(wmin, wmax))
+            rs = int(rng.integers(0, n - h))
+        cs = int(rng.integers(0, n - w))
+        b = rng.standard_normal((h, w)).astype(np.float32)
+        blocks.append(b)
+        rows.append(np.arange(rs, rs + h))
+        cols.append(np.arange(cs, cs + w))
+        dense[rs:rs + h, cs:cs + w] += b
+    return blocks, rows, cols, dense
+
+
+def build(seed=0, **kw):
+    blocks, rows, cols, dense = random_population(seed, **kw)
+    n = dense.shape[0]
+    layout = build_layout(blocks, rows, cols, (n, n), granularity="pow2",
+                          dtype=np.float32)
+    plan = build_patch_plan(layout)
+    return layout, plan, dense
+
+
+def test_plan_stats():
+    layout, plan, dense = build(0)
+    assert plan is not None
+    # padding stays modest vs pow2 buckets
+    rho_patch = plan.padded_nnz / plan.logical_nnz
+    rho_pow2 = layout.padded_nnz / layout.nnz
+    assert rho_patch < rho_pow2
+    # harsh population (widths down to 9 vs CC=32); bench configs measure
+    # 1.3-1.7 -- see benchmarks/proto_r3_patch.py
+    assert rho_patch < 2.2
+    assert len(plan.buckets) == 1  # uniform canvas: one bucket always
+    for b in plan.buckets:
+        assert b.KP % 128 == 0
+        assert b.MP % CR == 0
+        assert b.nb % b.G == 0
+
+
+def test_spmv_oracle():
+    _, plan, dense = build(1)
+    dev = patch_device_arrays(plan)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(dense.shape[1]).astype(np.float32)
+    y = np.asarray(patch_spmv(plan, dev, jnp.asarray(x)))
+    ref = dense @ x
+    assert np.abs(y - ref).max() <= TOL * max(np.abs(ref).max(), 1)
+    # transpose role swap
+    yt = np.asarray(patch_spmv(plan, dev, jnp.asarray(x), transpose=True))
+    reft = dense.T @ x
+    assert np.abs(yt - reft).max() <= TOL * max(np.abs(reft).max(), 1)
+
+
+def test_spmv_scattered_rejected():
+    rng = np.random.default_rng(5)
+    blocks = [rng.standard_normal((4, 4)).astype(np.float32)]
+    rows = [np.array([1, 3, 7, 9])]
+    cols = [np.arange(4)]
+    layout = build_layout(blocks, rows, cols, (16, 16), dtype=np.float32)
+    assert build_patch_plan(layout) is None
+
+
+def test_spmm_xla_oracle():
+    _, plan, dense = build(2)
+    dev = patch_device_arrays(plan)
+    rng = np.random.default_rng(4)
+    X = rng.standard_normal((dense.shape[1], 16)).astype(np.float32)
+    Y = np.asarray(patch_spmm_xla(plan, dev, jnp.asarray(X)))
+    ref = dense @ X
+    assert np.abs(Y - ref).max() <= TOL * max(np.abs(ref).max(), 1)
+    Yt = np.asarray(patch_spmm_xla(plan, dev, jnp.asarray(X), transpose=True))
+    reft = dense.T @ X
+    assert np.abs(Yt - reft).max() <= TOL * max(np.abs(reft).max(), 1)
+
+
+def test_spmm_kernel_interpret():
+    _, plan, dense = build(6, n=512, nblocks=16)
+    dev = patch_device_arrays(plan)
+    rng = np.random.default_rng(7)
+    X = rng.standard_normal((dense.shape[1], 8)).astype(np.float32)
+    Y = np.asarray(patch_spmm(plan, dev, jnp.asarray(X), interpret=True))
+    ref = dense @ X
+    assert np.abs(Y - ref).max() <= TOL * max(np.abs(ref).max(), 1)
+    Yt = np.asarray(patch_spmm(plan, dev, jnp.asarray(X), transpose=True,
+                               interpret=True))
+    reft = dense.T @ X
+    assert np.abs(Yt - reft).max() <= TOL * max(np.abs(reft).max(), 1)
+
+
+def symmetric_population(seed, n=768):
+    """Diag blocks on group ranges + off-diagonal blocks stored once."""
+    rng = np.random.default_rng(seed)
+    bounds = np.unique(np.concatenate([[0],
+                                       np.sort(rng.choice(n, 7, replace=False)),
+                                       [n]]))
+    groups = [np.arange(bounds[i], bounds[i + 1])
+              for i in range(len(bounds) - 1) if bounds[i + 1] > bounds[i]]
+    dblocks, dri, dci = [], [], []
+    oblocks, ori, oci = [], [], []
+    dense = np.zeros((n, n), np.float32)
+    for g in groups:
+        b = rng.standard_normal((g.size, g.size)).astype(np.float32)
+        dblocks.append(b)
+        dri.append(g)
+        dci.append(g)
+        dense[np.ix_(g, g)] += b
+    for _ in range(10):
+        gi, gj = rng.choice(len(groups), 2, replace=False)
+        gi, gj = int(gi), int(gj)
+        b = rng.standard_normal((groups[gi].size,
+                                 groups[gj].size)).astype(np.float32)
+        oblocks.append(b)
+        ori.append(groups[gi])
+        oci.append(groups[gj])
+        dense[np.ix_(groups[gi], groups[gj])] += b
+        dense[np.ix_(groups[gj], groups[gi])] += b.T
+    dlay = build_layout(dblocks, dri, dci, (n, n), dtype=np.float32)
+    olay = build_layout(oblocks, ori, oci, (n, n), dtype=np.float32)
+    return dlay, olay, dense
+
+
+def test_symmetric_fused():
+    dlay, olay, dense = symmetric_population(11)
+    plan = build_patch_plan(dlay, extra_layout=olay)
+    assert plan is not None and plan.symmetric
+    dev = patch_device_arrays(plan)
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal(dense.shape[0]).astype(np.float32)
+    y = np.asarray(patch_spmv(plan, dev, jnp.asarray(x)))
+    ref = dense @ x
+    assert np.abs(y - ref).max() <= TOL * max(np.abs(ref).max(), 1)
+    # SpMM, XLA fallback and interpret kernel
+    X = rng.standard_normal((dense.shape[0], 8)).astype(np.float32)
+    refm = dense @ X
+    Y1 = np.asarray(patch_spmm_xla(plan, dev, jnp.asarray(X)))
+    assert np.abs(Y1 - refm).max() <= TOL * max(np.abs(refm).max(), 1)
+    Y2 = np.asarray(patch_spmm(plan, dev, jnp.asarray(X), interpret=True))
+    assert np.abs(Y2 - refm).max() <= TOL * max(np.abs(refm).max(), 1)
+
+
+def test_spmv_grad():
+    _, plan, dense = build(8, n=512, nblocks=12)
+    dev = patch_device_arrays(plan)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal(dense.shape[1]).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal(dense.shape[0]).astype(np.float32))
+
+    def f(xv):
+        return jnp.vdot(w, patch_spmv(plan, dev, xv))
+
+    g = np.asarray(jax.grad(f)(x))
+    ref = dense.T @ np.asarray(w)
+    assert np.abs(g - ref).max() <= TOL * max(np.abs(ref).max(), 1)
+
+
+def test_spmm_kernel_grad_interpret():
+    _, plan, dense = build(10, n=512, nblocks=10)
+    dev = patch_device_arrays(plan)
+    rng = np.random.default_rng(13)
+    X = jnp.asarray(rng.standard_normal((dense.shape[1], 8)).astype(np.float32))
+    W = jnp.asarray(rng.standard_normal((dense.shape[0], 8)).astype(np.float32))
+
+    def f(Xv):
+        return jnp.vdot(W, patch_spmm(plan, dev, Xv, interpret=True))
+
+    g = np.asarray(jax.grad(f)(X))
+    ref = dense.T @ np.asarray(W)
+    assert np.abs(g - ref).max() <= 5 * TOL * max(np.abs(ref).max(), 1)

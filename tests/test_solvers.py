@@ -95,14 +95,63 @@ def test_bicgstab_nonsymmetric():
     assert np.linalg.norm(np.asarray(x) - x_ref) / np.linalg.norm(x_ref) < 1e-6
 
 
-def test_gmres_adapter():
+def test_gmres_native():
+    """Native restarted GMRES (Arnoldi + Givens) reports true iterations."""
     S = _spd_operator(seed=7, n=300)
     rng = np.random.default_rng(8)
     b = jnp.asarray(rng.standard_normal(S.shape[0]))
-    x, info = bst.gmres(S, b, tol=1e-10, restart=40, maxiter=200)
+    x, info = bst.gmres(S, b, tol=1e-10, restart=40, maxiter=400)
     assert bool(info.converged)
+    assert int(info.iterations) > 0          # real count, not the old -1
     r = np.asarray(b) - np.asarray(S.mv(x))
     assert np.linalg.norm(r) <= max(1e-10 * np.linalg.norm(np.asarray(b)), 1e-12) * 10
+
+
+def test_gmres_matches_scipy():
+    """Iterate-for-iterate quality vs scipy.sparse.linalg.gmres on a
+    nonsymmetric operator (the reference oracle pattern, solver edition)."""
+    import scipy.sparse.linalg as spla
+
+    rng = np.random.default_rng(21)
+    n = 180
+    A = np.eye(n) * 8 + 0.5 * rng.standard_normal((n, n))
+    b = rng.standard_normal(n)
+    x, info = bst.gmres(jnp.asarray(A), jnp.asarray(b), tol=1e-12,
+                        restart=30, maxiter=600)
+    x_sp, code = spla.gmres(A, b, rtol=1e-12, restart=30, maxiter=600)
+    assert code == 0 and bool(info.converged)
+    ref = np.linalg.solve(A, b)
+    assert np.linalg.norm(np.asarray(x) - ref) / np.linalg.norm(ref) < 1e-9
+    assert np.linalg.norm(x_sp - ref) / np.linalg.norm(ref) < 1e-9
+
+
+def test_gmres_complex_and_preconditioned():
+    rng = np.random.default_rng(22)
+    n = 120
+    A = (np.eye(n) * 6 + 0.4 * (rng.standard_normal((n, n)) +
+                                1j * rng.standard_normal((n, n))))
+    b = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    M = np.diag(1.0 / np.diag(A))
+    x, info = bst.gmres(jnp.asarray(A), jnp.asarray(b), tol=1e-12,
+                        restart=25, maxiter=500, M=jnp.asarray(M))
+    assert bool(info.converged) and int(info.iterations) > 0
+    ref = np.linalg.solve(A, b)
+    assert np.linalg.norm(np.asarray(x) - ref) / np.linalg.norm(ref) < 1e-8
+
+
+def test_gmres_under_jit():
+    S = _spd_operator(seed=23, n=200)
+    b = jnp.asarray(np.random.default_rng(24).standard_normal(S.shape[0]))
+
+    @jax.jit
+    def solve(op, rhs):
+        x, info = bst.gmres(op, rhs, tol=1e-10, restart=30)
+        return x, info.iterations
+
+    x, iters = solve(S, b)
+    r = np.asarray(S.mv(x)) - np.asarray(b)
+    assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) < 1e-8
+    assert int(iters) > 0
 
 
 def test_cg_under_jit():
