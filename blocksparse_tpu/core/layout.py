@@ -149,6 +149,10 @@ class BlockLayout:
     # true (unpadded) data lives inside the bucket tile.  k-merged slots
     # (see _kmerge) hold several blocks at different col_off.
     block_loc: tuple[tuple[int, int, int, int, int, int], ...] = ()
+    # per-block logical nnz: prod(shape) for dense input blocks, the stored
+    # entry count for sparse (scipy) input blocks -- the reference's _nnz
+    # dispatch (abstractblockmatrix.jl:65-71).  Empty tuple = all dense.
+    block_nnz: tuple[int, ...] = ()
     _digest: str = field(default="", compare=False)
 
     def __post_init__(self):
@@ -171,9 +175,12 @@ class BlockLayout:
     # -- accounting ---------------------------------------------------------
     @property
     def nnz(self) -> int:
-        """Logical nnz: sum of unpadded block areas (reference semantics,
-        abstractblockmatrix.jl:65-71) -- computed from the original index
-        lists so it is invariant under bucketing/chunking/merging."""
+        """Logical nnz: sum of unpadded block areas for dense blocks and of
+        stored entry counts for sparse input blocks (reference semantics,
+        abstractblockmatrix.jl:65-71: ``_nnz(SparseMatrixCSC) = nnz`` vs
+        ``prod(size)``) -- invariant under bucketing/chunking/merging."""
+        if self.block_nnz:
+            return int(sum(self.block_nnz))
         return int(
             sum(int(r.size) * int(c.size)
                 for r, c in zip(self.rowindices, self.colindices))
@@ -510,6 +517,23 @@ def build_layout(
     n = len(blocks)
     if not (len(rowindices) == len(colindices) == n):
         raise ValueError("blocks, rowindices, colindices must have equal length")
+    # Sparse sub-blocks (reference parity: any AbstractMatrix including
+    # SparseMatrixCSC is a valid block, abstractblockmatrix.jl:65-71):
+    # densify scipy.sparse blocks into the buckets but keep their stored
+    # entry count as the logical nnz.
+    block_nnz: list[int] = []
+    any_sparse = False
+    dense_blocks = []
+    for b in blocks:
+        if hasattr(b, "toarray") and hasattr(b, "nnz"):   # scipy.sparse
+            block_nnz.append(int(b.nnz))
+            dense_blocks.append(np.asarray(b.toarray()))
+            any_sparse = True
+        else:
+            arr = np.asarray(b)
+            block_nnz.append(int(np.prod(arr.shape)))
+            dense_blocks.append(arr)
+    blocks = dense_blocks
     if granularity == "pow2":
         key_of = lambda m, k: (pow2_ceil(m), pow2_ceil(k))
     else:
@@ -663,4 +687,5 @@ def build_layout(
         rowindices=tuple(rlists),
         colindices=tuple(clists),
         block_loc=tuple(loc),
+        block_nnz=tuple(block_nnz) if any_sparse else (),
     )

@@ -86,7 +86,10 @@ class VariableBlockCompressedRowStorage(LinearOperator):
         self._granularity = granularity
 
         n = len(blocks)
-        blocks = [np.asarray(b) for b in blocks]
+        # scipy.sparse blocks densify (reference parity: any AbstractMatrix
+        # block; VBCRS nnz counts dense extents anyway, vbcrs.jl:290-296)
+        blocks = [np.asarray(b.toarray()) if hasattr(b, "toarray")
+                  else np.asarray(b) for b in blocks]
         rstarts = np.array(
             [_as_start(rowindices[i], blocks[i].shape[0], "row", i, check) for i in range(n)],
             dtype=np.int64,
