@@ -179,6 +179,42 @@ class LinearOperator:
     def conj(self) -> "LinearOperator":
         return ConjOperator(self)
 
+    # -- split-complex support (TPU path for complex dtypes) -----------------
+    def split(self):
+        """Split-real form: a ComplexSplitOperator over two real operators.
+
+        The TPU-safe way to run the reference's ComplexF64 use case: four
+        real products per complex product, each on the full fast-engine
+        stack; ``mv_split``/``mm_split`` take and return (re, im) pairs so no
+        complex array crosses the host<->device boundary.  Only format
+        operators with complex dtype support this."""
+        from ..complexops import autosplit
+
+        return autosplit(self)
+
+    def mv_split(self, xr, xi):
+        return self.split().mv_split(xr, xi)
+
+    def mm_split(self, Xr, Xi):
+        return self.split().mm_split(Xr, Xi)
+
+    def _complex_split_route(self):
+        """Auto-routing hook called by the format ``_apply``s: the cached
+        split-real pair when (complex dtype, TPU backend, backend != "xla"),
+        else None.  Complex einsum/scatter paths do not exist on the TPU
+        fast engines, so this is what puts complex products on them."""
+        import numpy as np
+
+        if not np.issubdtype(np.dtype(self.dtype), np.complexfloating):
+            return None
+        if getattr(self, "_backend", None) == "xla":
+            return None
+        if jax.default_backend() != "tpu":
+            return None
+        from ..complexops import autosplit
+
+        return autosplit(self)
+
     # -- materialization ----------------------------------------------------
     def todense(self) -> np.ndarray:
         """Materialize as a dense array (parity: ``A[:, :]``, test usage)."""

@@ -54,7 +54,7 @@ KC_ALIGN = LANE // CC   # k chunk counts padded to this so KP % 128 == 0
 
 _MAX_KP = 4096          # canvas k-extent cap (VMEM per grid step)
 _STEP_BYTES = 600_000   # target value bytes per mono-kernel grid step
-_SLOT_TAX = 8_192       # cost-model bytes per canvas (slot-count overhead)
+_SLOT_TAX = 512         # cost-model bytes per canvas (per-slot loop overhead)
 
 
 @dataclass(frozen=True)
@@ -287,7 +287,10 @@ def build_patch_plan(layout: BlockLayout,
     G = max(1, _STEP_BYTES // max(MP * KP * 4, 1))
     nb_real = len(slot_rows)
     G = min(G, nb_real)
-    nb = round_up(nb_real, G)
+    # balance G to the step count so zero-slot padding is < one step's worth
+    steps = -(-nb_real // G)
+    G = -(-nb_real // steps)
+    nb = steps * G
     MCn = MP // CR
     vals = np.zeros((nb, MP, KP), np.float32)
     colc = np.full((nb, KCn), NC, np.int32)        # sentinel -> zero chunk

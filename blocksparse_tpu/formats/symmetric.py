@@ -213,6 +213,9 @@ class SymmetricBlockMatrix(LinearOperator):
         return cache[key]
 
     def _apply(self, x, transpose: bool, conj: bool):
+        split = self._complex_split_route()
+        if split is not None:
+            return split._apply(x, transpose, conj)
         # Off-diagonal pair honors only conj; diagonal honors both flags
         # (see module docstring).
         from ..ops.dispatch import strip_eligible, strip_wins

@@ -258,6 +258,9 @@ class VariableBlockCompressedRowStorage(LinearOperator):
         return cache[key]
 
     def _apply(self, x, transpose: bool, conj: bool):
+        split = self._complex_split_route()
+        if split is not None:
+            return split._apply(x, transpose, conj)
         out_len = self.shape[1] if transpose else self.shape[0]
         from ..ops.dispatch import strip_eligible, strip_wins
 

@@ -37,8 +37,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.patch import CC, CR, PatchPlan, one_hot_arrays
 
-__all__ = ["patch_device_arrays", "patch_apply", "patch_spmv", "patch_spmm",
-           "patch_spmm_xla"]
+__all__ = ["patch_device_arrays", "patch_apply", "patch_spmv",
+           "patch_spmv_kernel", "patch_spmm", "patch_spmm_xla"]
 
 HI = jax.lax.Precision.HIGHEST
 
@@ -112,6 +112,187 @@ def patch_spmv(plan: PatchPlan, dev, x, *, transpose: bool = False):
                            preferred_element_type=jnp.float32, precision=HI)
             y = y + updT.reshape(-1)[:n_out]
     return y.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# r == 1 Pallas mono-kernel: ONE read of the value stream serves both the
+# forward and (for symmetric plans) the mirrored contribution.  XLA cannot
+# be made to fuse the two passes over vals (measured: the fused XLA graph
+# re-streams them at ~1.35x, benchmarks/proto_r3_stage.py), so the kernel is
+# what realizes the one-read promise.  Gathers stay outside as exact one-hot
+# matmuls; both scatters happen in-kernel with sublane-dynamic slices (the
+# only dynamic-offset direction Mosaic supports at CR/CC granularity).
+# ---------------------------------------------------------------------------
+
+
+def _kern1_fwd(cc_ref, rs_ref, mk_ref, xg_ref, v_ref, y_ref, *, G, MP):
+    s = pl.program_id(0)
+
+    @pl.when(s == 0)
+    def _():
+        y_ref[:] = jnp.zeros_like(y_ref)
+
+    for g in range(G):
+        b = s * G + g
+        V = v_ref[g]                                   # [MP, KP]
+        xg = xg_ref[g]                                 # [KP] lanes
+        yp = jnp.sum(V * xg[None, :], axis=1, keepdims=True)   # [MP, 1]
+        y_ref[pl.ds(rs_ref[b], MP), :] += yp
+
+
+def _kern1_mir(cc_ref, rs_ref, mk_ref, xg_ref, xrT_ref, v_ref, y_ref,
+               ym_ref, *, G, MP, KC_):
+    s = pl.program_id(0)
+
+    @pl.when(s == 0)
+    def _():
+        y_ref[:] = jnp.zeros_like(y_ref)
+        ym_ref[:] = jnp.zeros_like(ym_ref)
+
+    for g in range(G):
+        b = s * G + g
+        V = v_ref[g]                                   # [MP, KP]
+        xg = xg_ref[g]                                 # [KP] lanes
+        yp = jnp.sum(V * xg[None, :], axis=1, keepdims=True)   # [MP, 1]
+        y_ref[pl.ds(rs_ref[b], MP), :] += yp
+        xr = xrT_ref[:, g:g + 1]                       # [MP, 1] static lane
+        yt = jnp.sum(V * xr, axis=0, keepdims=True)    # [1, KP]
+        for j in range(KC_):
+            @pl.when(j < mk_ref[b])
+            def _(j=j):
+                ym_ref[pl.ds(cc_ref[b, j], 1), :] += (
+                    yt[:, j * CC:(j + 1) * CC])
+
+
+def _spmv_kernel_raw(meta, vals, cc, rs, mk, xg, xrT, interpret):
+    """meta = (mirror: bool, G, MP, KP, yrows, NCp)."""
+    mirror, G, MP, KP, yrows, NCp = meta
+    nb = vals.shape[0]
+    KC_ = KP // CC
+    steps = nb // G
+    if mirror:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(steps,),
+            in_specs=[
+                pl.BlockSpec((G, KP), lambda s, c, r, m: (s, 0)),
+                pl.BlockSpec((MP, G), lambda s, c, r, m: (0, s)),
+                pl.BlockSpec((G, MP, KP), lambda s, c, r, m: (s, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((yrows, 1), lambda s, c, r, m: (0, 0)),
+                pl.BlockSpec((NCp, CC), lambda s, c, r, m: (0, 0)),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(_kern1_mir, G=G, MP=MP, KC_=KC_),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((yrows, 1), jnp.float32),
+                jax.ShapeDtypeStruct((NCp, CC), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * vals.size, bytes_accessed=vals.size * 4,
+                transcendentals=0),
+            interpret=interpret,
+        )(cc, rs, mk, xg, xrT, vals)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((G, KP), lambda s, c, r, m: (s, 0)),
+            pl.BlockSpec((G, MP, KP), lambda s, c, r, m: (s, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((yrows, 1), lambda s, c, r, m: (0, 0)),
+    )
+    return pl.pallas_call(
+        functools.partial(_kern1_fwd, G=G, MP=MP),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((yrows, 1), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * vals.size, bytes_accessed=vals.size * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(cc, rs, mk, xg, vals)
+
+
+def patch_spmv_kernel(plan: PatchPlan, dev, x, *, transpose: bool = False,
+                      interpret: bool = False):
+    """y = A @ x via the one-read Pallas kernel (TPU fast path, r == 1).
+
+    The transpose of a plain operand reuses the forward kernel with the
+    roles of the one-hot gathers/scatters swapped at the XLA level (gather
+    rows via sOH, kernel runs on the TRANSPOSED canvas? no -- transpose
+    products route to :func:`patch_spmv`, the XLA engine, which is exact
+    and rarely hot; symmetric plans are transpose-invariant up to the
+    diagonal and use their own transposed-diag plan).
+    """
+    assert not transpose, "kernel path is forward-only; use patch_spmv"
+    NC, NR = plan.NC, plan.NR
+    (vals, gOH, sOH, _flag, cc, rs, mk) = dev[0]
+    nb, MP, KP = vals.shape
+    b = plan.buckets[0]
+    x32 = _pad_to(x, (NC + 1) * CC).reshape(NC + 1, CC)
+    xg = jnp.dot(gOH, x32, preferred_element_type=jnp.float32,
+                 precision=HI).reshape(nb, KP)
+    yrows = _rows_r(plan)
+    if plan.symmetric:
+        x8 = _pad_to(x, (NR + 1) * CR).reshape(NR + 1, CR)
+        xrT = jnp.dot(sOH, x8, preferred_element_type=jnp.float32,
+                      precision=HI).reshape(nb, MP).T
+        meta = (True, b.G, MP, KP, yrows, NC + 1)
+        yf, ym = _spmv1_vjp(meta, interpret, vals, cc, rs, mk, xg, xrT)
+        y = (yf.reshape(-1)[:plan.nrows]
+             + ym.reshape(-1)[:plan.nrows])
+        return y.astype(x.dtype)
+    meta = (False, b.G, MP, KP, yrows, NC + 1)
+    yf = _spmv1_vjp(meta, interpret, vals, cc, rs, mk, xg,
+                    jnp.zeros((MP, nb), jnp.float32))
+    return yf.reshape(-1)[:plan.nrows].astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _spmv1_vjp(meta, interpret, vals, cc, rs, mk, xg, xrT):
+    return _spmv_kernel_raw(meta, vals, cc, rs, mk, xg, xrT, interpret)
+
+
+def _spmv1_fwd(meta, interpret, vals, cc, rs, mk, xg, xrT):
+    out = _spmv_kernel_raw(meta, vals, cc, rs, mk, xg, xrT, interpret)
+    return out, (vals, cc, rs, mk, xg, xrT)
+
+
+def _spmv1_bwd(meta, interpret, res, g):
+    mirror, G, MP, KP, yrows, NCp = meta
+    vals, cc, rs, mk, xg, xrT = res
+    nb = vals.shape[0]
+    KC_ = KP // CC
+    if mirror:
+        gf, gm = g
+    else:
+        gf, gm = g, None
+    # cotangents via the XLA formulation (exact; the op is linear)
+    rws = rs[:, None] + jnp.arange(MP)[None, :]
+    gwin = gf[:, 0][rws]                               # [nb, MP]
+    dvals = gwin[:, :, None] * xg[:, None, :]
+    dxg = jnp.einsum("bmk,bm->bk", vals, gwin, precision=HI)
+    dxrT = jnp.zeros_like(xrT)
+    if mirror:
+        fl = (jnp.arange(KC_)[None, :] < mk[:, None]).astype(jnp.float32)
+        gm2 = gm.reshape(-1, CC)                        # [NCp, CC]
+        gch = gm2[cc]                                   # [nb, KC, CC]
+        gch = (gch * fl[..., None]).reshape(nb, KP)
+        dvals = dvals + xrT.T[:, :, None] * gch[:, None, :]
+        dxrT = jnp.einsum("bmk,bk->bm", vals, gch, precision=HI).T
+    z = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return (dvals.astype(vals.dtype), z(cc), z(rs), z(mk),
+            dxg.astype(xg.dtype), dxrT.astype(xrT.dtype))
+
+
+_spmv1_vjp.defvjp(_spmv1_fwd, _spmv1_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -333,10 +514,14 @@ def patch_spmm_xla(plan: PatchPlan, dev, X, *, transpose: bool = False):
 def patch_apply(plan: PatchPlan, dev, x, *, transpose: bool = False,
                 backend: str = "auto"):
     """Entry point: route by rank/backend.  x: [n] or [n, r] f32."""
-    if x.ndim == 1:
-        return patch_spmv(plan, dev, x, transpose=transpose)
     interpret = backend == "pallas-interpret"
-    if interpret or (backend != "xla" and jax.default_backend() == "tpu"):
+    on_kernel_path = interpret or (backend != "xla"
+                                   and jax.default_backend() == "tpu")
+    if x.ndim == 1:
+        if on_kernel_path and not transpose:
+            return patch_spmv_kernel(plan, dev, x, interpret=interpret)
+        return patch_spmv(plan, dev, x, transpose=transpose)
+    if on_kernel_path:
         return patch_spmm(plan, dev, x, transpose=transpose,
                           interpret=interpret)
     return patch_spmm_xla(plan, dev, x, transpose=transpose)
