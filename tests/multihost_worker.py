@@ -20,14 +20,17 @@ def main() -> int:
 
     from blocksparse_tpu.parallel import multihost
 
-    multihost.cpu_local_cluster(num_local_devices=4)
+    # 8 global devices regardless of the process count: 2 procs x 4 local
+    # (one boundary) or 4 procs x 2 local (a ring with three host edges)
+    local = 8 // nproc
+    multihost.cpu_local_cluster(num_local_devices=local)
     multihost.init(f"127.0.0.1:{port}", nproc, pid)
 
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    assert jax.device_count() == 4 * nproc, (
+    assert jax.device_count() == local * nproc, (
         f"cluster failed to form: {jax.device_count()} global devices"
     )
 
@@ -69,12 +72,22 @@ def main() -> int:
     yt = multihost_utils.process_allgather(D.T @ xg, tiled=True)
     err_t = relerr(yt, S.T @ x)
 
+    # SpMM across the process boundary (BASELINE config 5 also names SpMM)
+    r = 8
+    X = rng.standard_normal((n, r)).astype(np.float32)
+    Xg = multihost.replicate(X, mesh)
+    Y = np.asarray(
+        multihost_utils.process_allgather(D @ Xg, tiled=True)
+    ).reshape(-1, r)[:n]
+    refM = S @ X
+    err_m = float(np.abs(Y - refM).max()) / max(1.0, float(np.abs(refM).max()))
+
     halo = D.exchanged_bytes_per_call
     print(f"proc {pid}: global_devices={jax.device_count()} "
-          f"fwd_rel={err_f:.2e} t_rel={err_t:.2e} halo_bytes={halo}",
-          flush=True)
+          f"fwd_rel={err_f:.2e} t_rel={err_t:.2e} mm_rel={err_m:.2e} "
+          f"halo_bytes={halo}", flush=True)
     tol = 1e-5  # f32 relative (256-wide dot products)
-    ok = err_f < tol and err_t < tol
+    ok = err_f < tol and err_t < tol and err_m < tol
     print(f"proc {pid}: {'OK' if ok else 'FAIL'}", flush=True)
     return 0 if ok else 1
 

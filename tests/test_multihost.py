@@ -22,7 +22,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_cluster():
+def _run_cluster(nproc: int):
     # hard-capped by the communicate(timeout=280) below; no plugin needed
     port = _free_port()
     env = dict(os.environ)
@@ -32,11 +32,11 @@ def test_two_process_cluster():
     env.pop("JAX_PLATFORMS", None)
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(pid), "2", str(port)],
+            [sys.executable, WORKER, str(pid), str(nproc), str(port)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env,
         )
-        for pid in range(2)
+        for pid in range(nproc)
     ]
     outs = []
     try:
@@ -55,3 +55,14 @@ def test_two_process_cluster():
         assert p.returncode == 0, f"worker {pid} failed:\n{tail}"
         assert f"proc {pid}: OK" in out, f"worker {pid} output:\n{tail}"
         assert "global_devices=8" in out
+
+
+def test_two_process_cluster():
+    """2 hosts x 4 devices: one host boundary; SpMV + transpose + SpMM."""
+    _run_cluster(2)
+
+
+def test_four_process_cluster():
+    """4 hosts x 2 devices: three host edges in the halo ring (VERDICT r2
+    #7b); same oracle checks on every host."""
+    _run_cluster(4)
