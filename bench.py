@@ -270,18 +270,27 @@ def main():
     except Exception as e:
         log(f"# config4 failed: {e}")
 
+    # All secondary configs report the LOGICAL roofline as the primary
+    # number (VERDICT r2 weak #1 / next-step #1): logical bytes = unpadded
+    # stored entries * 4 + x/y traffic -- the nnz/s unit BASELINE.md's
+    # north star is stated in.  Padded ratios print alongside as context,
+    # never as a denominator.
+
     # -- config 2: symmetric fused ------------------------------------------
     try:
         S = build_config2()
         xs = jnp.asarray(rng.standard_normal(S.shape[0]).astype(np.float32))
         dts, pips = bench_modes(S, xs, iters=(5, 25))
-        s_bytes = (S._dlayout.padded_nnz + S._olayout.padded_nnz) * 4
+        s_logical = (S._dlayout.nnz + S._olayout.nnz) * 4 + 2 * S.shape[0] * 4
+        s_padded = (S._dlayout.padded_nnz + S._olayout.padded_nnz) * 4
+        roof2 = s_logical / bw
         log(
-            f"# config2 symmetric spmv (half-stored): piped "
+            f"# config2 symmetric spmv (half-stored, padded/logical "
+            f"{s_padded/s_logical:.2f}): piped "
             f"{pips['median']*1e6:.1f} us {spread_us(pips)} = "
-            f"{100*(s_bytes/pips['median'])/bw:.1f}% of stored-traffic roofline"
+            f"{100*roof2/pips['median']:.1f}% of LOGICAL roofline"
             f" | dep {dts['median']*1e6:.1f} us {spread_us(dts)} = "
-            f"{100*(s_bytes/dts['median'])/bw:.1f}%"
+            f"{100*roof2/dts['median']:.1f}%"
         )
     except Exception as e:
         log(f"# config2 failed: {e}")
@@ -291,13 +300,15 @@ def main():
         V = build_config3()
         xv = jnp.asarray(rng.standard_normal(V.shape[1]).astype(np.float32))
         dtv, pipv = bench_modes(V, xv, iters=(5, 25))
-        v_bytes = V.layout.padded_nnz * 4
+        v_logical = V.layout.nnz * 4 + 2 * V.shape[1] * 4
+        roof3 = v_logical / bw
         log(
-            f"# config3 vbcrs mixed 16-128 spmv: piped "
+            f"# config3 vbcrs mixed 16-128 spmv (padded/logical "
+            f"{V.layout.padded_nnz*4/v_logical:.2f}): piped "
             f"{pipv['median']*1e6:.1f} us {spread_us(pipv)} = "
-            f"{100*(v_bytes/pipv['median'])/bw:.1f}% of padded-traffic roofline"
+            f"{100*roof3/pipv['median']:.1f}% of LOGICAL roofline"
             f" | dep {dtv['median']*1e6:.1f} us {spread_us(dtv)} = "
-            f"{100*(v_bytes/dtv['median'])/bw:.1f}%"
+            f"{100*roof3/dtv['median']:.1f}%"
         )
     except Exception as e:
         log(f"# config3 failed: {e}")
@@ -314,7 +325,7 @@ def main():
             f"{len(As.layout.buckets)} buckets, padded/logical "
             f"{As.layout.padded_nnz/As.nnz:.2f}): piped {psc['median']*1e6:.1f}"
             f" us {spread_us(psc)} = {100*(s_bytes/psc['median'])/bw:.1f}% of "
-            f"LOGICAL-traffic roofline | dep {dsc['median']*1e6:.1f} us "
+            f"LOGICAL roofline | dep {dsc['median']*1e6:.1f} us "
             f"{spread_us(dsc)} = {100*(s_bytes/dsc['median'])/bw:.1f}%"
         )
     except Exception as e:

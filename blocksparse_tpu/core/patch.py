@@ -156,7 +156,8 @@ class PatchPlan:
 
 def build_patch_plan(layout: BlockLayout,
                      extra_layout: BlockLayout | None = None,
-                     force_canvas: tuple[int, int] | None = None):
+                     force_canvas: tuple[int, int] | None = None,
+                     transpose_main: bool = False):
     """Build a PatchPlan from one layout (or a diag+offdiag pair).
 
     ``extra_layout``: when given, ``layout`` is the DIAGONAL operand and
@@ -164,6 +165,13 @@ def build_patch_plan(layout: BlockLayout,
     both merge into one plan whose off-diagonal chunks are mirror-counted
     (fused S = D + O + O^T in one pass).  Returns None when ineligible
     (non-f32 values, any non-contiguous index list, or an oversized block).
+
+    ``transpose_main``: embed the transpose of ``layout``'s blocks (indices
+    swapped).  Used for S^T = D^T + O + O^T: the off-diagonal pair is
+    transpose-invariant, only the diagonal operand transposes (the
+    reference's role swap, symmetricblockmatrix.jl:341-365).  Plain
+    operands do NOT need this -- their transpose swaps gather/scatter roles
+    over the same plan inside the engine.
     """
     dts = [b.values.dtype for b in layout.buckets]
     if extra_layout is not None:
@@ -173,7 +181,7 @@ def build_patch_plan(layout: BlockLayout,
 
     entries = []   # (block values f32, row_start, col_start, mirrored)
 
-    def collect(lay: BlockLayout, mirrored: bool) -> bool:
+    def collect(lay: BlockLayout, mirrored: bool, transposed: bool) -> bool:
         for i in range(lay.nblocks):
             r = lay.rowindices[i]
             c = lay.colindices[i]
@@ -182,17 +190,21 @@ def build_patch_plan(layout: BlockLayout,
             if not (is_contiguous(r) and is_contiguous(c)):
                 return False
             blk = np.asarray(lay.extract_block(i), np.float32)
+            if transposed:
+                blk, r, c = blk.T, c, r
             entries.append((blk, int(r[0]), int(c[0]), mirrored))
         return True
 
-    if not collect(layout, False):
+    if not collect(layout, False, transpose_main):
         return None
-    if extra_layout is not None and not collect(extra_layout, True):
+    if extra_layout is not None and not collect(extra_layout, True, False):
         return None
     if not entries:
         return None
 
     nrows, ncols = layout.nrows, layout.ncols
+    if transpose_main:
+        nrows, ncols = ncols, nrows
     NC = -(-ncols // CC)
     NR = -(-nrows // CR)
     logical = sum(b.shape[0] * b.shape[1] for b, _, _, _ in entries)
@@ -284,12 +296,37 @@ def build_patch_plan(layout: BlockLayout,
         if cur:
             slot_rows.append((w0, cur, curmir))
 
-    G = max(1, _STEP_BYTES // max(MP * KP * 4, 1))
+    # G must be a multiple of 8 when possible: the r=1 mono-kernel blocks
+    # the per-slot arrays [nb, MP] / [nb, KP] as (G, MP) / (G, KP), and
+    # Mosaic requires the second-to-last block dim to be sublane-divisible
+    # (the leading dim of the 3-D vals block is unconstrained).  Search the
+    # step count for the cheapest (zero-slot padded bytes + per-step tax)
+    # subject to the per-step VMEM budget; zero slots stream real bytes, so
+    # padding is charged at full canvas cost.
+    canvas_b = MP * KP * 4
     nb_real = len(slot_rows)
-    G = min(G, nb_real)
-    # balance G to the step count so zero-slot padding is < one step's worth
-    steps = -(-nb_real // G)
-    G = -(-nb_real // steps)
+    if canvas_b * 8 <= 4 * _STEP_BYTES:
+        # G multiples of 8 fit the VMEM budget: search step counts for the
+        # cheapest padded-bytes + per-step tax
+        g_cap = max(8, (4 * _STEP_BYTES // canvas_b) // 8 * 8)
+        steps_lo = max(1, -(-nb_real // g_cap))
+        steps_hi = max(steps_lo, -(-nb_real // 8))
+        best_g = None
+        for steps in range(steps_lo, steps_hi + 1):
+            g = round_up(-(-nb_real // steps), 8)
+            if g > g_cap:
+                continue
+            cost = steps * g * canvas_b + steps * 16_384
+            if best_g is None or cost < best_g[0]:
+                best_g = (cost, g, steps)
+        _, G, steps = best_g
+    else:
+        # canvas too large for a sublane-divisible G: the r=1 kernel path
+        # refuses (patch_kernel_ok) and products run the one-hot XLA engine
+        G = max(1, _STEP_BYTES // canvas_b)
+        G = min(G, nb_real)
+        steps = -(-nb_real // G)
+        G = -(-nb_real // steps)
     nb = steps * G
     MCn = MP // CR
     vals = np.zeros((nb, MP, KP), np.float32)

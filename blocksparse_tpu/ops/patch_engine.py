@@ -38,7 +38,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.patch import CC, CR, PatchPlan, one_hot_arrays
 
 __all__ = ["patch_device_arrays", "patch_apply", "patch_spmv",
-           "patch_spmv_kernel", "patch_spmm", "patch_spmm_xla"]
+           "patch_spmv_kernel", "patch_kernel_ok", "patch_spmm",
+           "patch_spmm_xla"]
 
 HI = jax.lax.Precision.HIGHEST
 
@@ -119,180 +120,160 @@ def patch_spmv(plan: PatchPlan, dev, x, *, transpose: bool = False):
 # forward and (for symmetric plans) the mirrored contribution.  XLA cannot
 # be made to fuse the two passes over vals (measured: the fused XLA graph
 # re-streams them at ~1.35x, benchmarks/proto_r3_stage.py), so the kernel is
-# what realizes the one-read promise.  Gathers stay outside as exact one-hot
-# matmuls; both scatters happen in-kernel with sublane-dynamic slices (the
-# only dynamic-offset direction Mosaic supports at CR/CC granularity).
+# what realizes the one-read promise.  The kernel does ONLY the per-slot
+# contractions (VPU lane/sublane reductions over the streamed canvases) and
+# writes tiny per-slot vectors [nb, MP] / [nb, KP]; every gather/scatter
+# stays outside as an exact one-hot matmul.  No dynamic indexing at all, so
+# the only Mosaic shape constraint is G % 8 == 0 (enforced by the plan).
 # ---------------------------------------------------------------------------
 
 
-def _kern1_fwd(cc_ref, rs_ref, mk_ref, xg_ref, v_ref, y_ref, *, G, MP):
-    s = pl.program_id(0)
-
-    @pl.when(s == 0)
-    def _():
-        y_ref[:] = jnp.zeros_like(y_ref)
-
+def _kern1_f(xg_ref, v_ref, yf_ref, *, G):
     for g in range(G):
-        b = s * G + g
-        V = v_ref[g]                                   # [MP, KP]
-        xg = xg_ref[g]                                 # [KP] lanes
-        yp = jnp.sum(V * xg[None, :], axis=1, keepdims=True)   # [MP, 1]
-        y_ref[pl.ds(rs_ref[b], MP), :] += yp
+        V = v_ref[g]                                             # [MP, KP]
+        yf_ref[g, :] = jnp.sum(V * xg_ref[g, :][None, :], axis=1)
 
 
-def _kern1_mir(cc_ref, rs_ref, mk_ref, xg_ref, xrT_ref, v_ref, y_ref,
-               ym_ref, *, G, MP, KC_):
-    s = pl.program_id(0)
-
-    @pl.when(s == 0)
-    def _():
-        y_ref[:] = jnp.zeros_like(y_ref)
-        ym_ref[:] = jnp.zeros_like(ym_ref)
-
+def _kern1_t(xr_ref, v_ref, yt_ref, *, G):
     for g in range(G):
-        b = s * G + g
-        V = v_ref[g]                                   # [MP, KP]
-        xg = xg_ref[g]                                 # [KP] lanes
-        yp = jnp.sum(V * xg[None, :], axis=1, keepdims=True)   # [MP, 1]
-        y_ref[pl.ds(rs_ref[b], MP), :] += yp
-        xr = xrT_ref[:, g:g + 1]                       # [MP, 1] static lane
-        yt = jnp.sum(V * xr, axis=0, keepdims=True)    # [1, KP]
-        for j in range(KC_):
-            @pl.when(j < mk_ref[b])
-            def _(j=j):
-                ym_ref[pl.ds(cc_ref[b, j], 1), :] += (
-                    yt[:, j * CC:(j + 1) * CC])
+        V = v_ref[g]
+        yt_ref[g, :] = jnp.sum(V * xr_ref[g, :][:, None], axis=0)
 
 
-def _spmv_kernel_raw(meta, vals, cc, rs, mk, xg, xrT, interpret):
-    """meta = (mirror: bool, G, MP, KP, yrows, NCp)."""
-    mirror, G, MP, KP, yrows, NCp = meta
+def _kern1_m(xg_ref, xr_ref, v_ref, yf_ref, yt_ref, *, G):
+    for g in range(G):
+        V = v_ref[g]                                             # one read
+        yf_ref[g, :] = jnp.sum(V * xg_ref[g, :][None, :], axis=1)
+        yt_ref[g, :] = jnp.sum(V * xr_ref[g, :][:, None], axis=0)
+
+
+def _spmv_kernel_raw(meta, vals, xg, xr, interpret):
+    """Per-slot contractions; meta = (mode, G, MP, KP).
+
+    mode 'f': yf[b,m] = sum_k V[b,m,k] xg[b,k]      (forward)
+    mode 't': yt[b,k] = sum_m V[b,m,k] xr[b,m]      (transposed)
+    mode 'm': both, from one read of V               (symmetric fused)
+    """
+    mode, G, MP, KP = meta
     nb = vals.shape[0]
-    KC_ = KP // CC
     steps = nb // G
-    if mirror:
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
-            grid=(steps,),
-            in_specs=[
-                pl.BlockSpec((G, KP), lambda s, c, r, m: (s, 0)),
-                pl.BlockSpec((MP, G), lambda s, c, r, m: (0, s)),
-                pl.BlockSpec((G, MP, KP), lambda s, c, r, m: (s, 0, 0)),
-            ],
-            out_specs=[
-                pl.BlockSpec((yrows, 1), lambda s, c, r, m: (0, 0)),
-                pl.BlockSpec((NCp, CC), lambda s, c, r, m: (0, 0)),
-            ],
-        )
-        return pl.pallas_call(
-            functools.partial(_kern1_mir, G=G, MP=MP, KC_=KC_),
-            grid_spec=grid_spec,
-            out_shape=[
-                jax.ShapeDtypeStruct((yrows, 1), jnp.float32),
-                jax.ShapeDtypeStruct((NCp, CC), jnp.float32),
-            ],
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",)),
-            cost_estimate=pl.CostEstimate(
-                flops=4 * vals.size, bytes_accessed=vals.size * 4,
-                transcendentals=0),
-            interpret=interpret,
-        )(cc, rs, mk, xg, xrT, vals)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+    sl = lambda s: (s, 0)
+    g_spec = pl.BlockSpec((G, KP), sl)
+    r_spec = pl.BlockSpec((G, MP), sl)
+    v_spec = pl.BlockSpec((G, MP, KP), lambda s: (s, 0, 0))
+    yf_shape = jax.ShapeDtypeStruct((nb, MP), jnp.float32)
+    yt_shape = jax.ShapeDtypeStruct((nb, KP), jnp.float32)
+    flops = 2 * vals.size * (2 if mode == "m" else 1)
+    cp = dict(
         grid=(steps,),
-        in_specs=[
-            pl.BlockSpec((G, KP), lambda s, c, r, m: (s, 0)),
-            pl.BlockSpec((G, MP, KP), lambda s, c, r, m: (s, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((yrows, 1), lambda s, c, r, m: (0, 0)),
-    )
-    return pl.pallas_call(
-        functools.partial(_kern1_fwd, G=G, MP=MP),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((yrows, 1), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         cost_estimate=pl.CostEstimate(
-            flops=2 * vals.size, bytes_accessed=vals.size * 4,
-            transcendentals=0),
+            flops=flops, bytes_accessed=vals.size * 4, transcendentals=0),
         interpret=interpret,
-    )(cc, rs, mk, xg, vals)
+    )
+    if mode == "f":
+        return pl.pallas_call(
+            functools.partial(_kern1_f, G=G), in_specs=[g_spec, v_spec],
+            out_specs=r_spec, out_shape=yf_shape, **cp)(xg, vals)
+    if mode == "t":
+        return pl.pallas_call(
+            functools.partial(_kern1_t, G=G), in_specs=[r_spec, v_spec],
+            out_specs=g_spec, out_shape=yt_shape, **cp)(xr, vals)
+    return pl.pallas_call(
+        functools.partial(_kern1_m, G=G),
+        in_specs=[g_spec, r_spec, v_spec],
+        out_specs=[r_spec, g_spec],
+        out_shape=[yf_shape, yt_shape], **cp)(xg, xr, vals)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _spmv1_vjp(meta, interpret, vals, xg, xr):
+    return _spmv_kernel_raw(meta, vals, xg, xr, interpret)
+
+
+def _spmv1_fwd(meta, interpret, vals, xg, xr):
+    return _spmv_kernel_raw(meta, vals, xg, xr, interpret), (vals, xg, xr)
+
+
+def _spmv1_bwd(meta, interpret, res, g):
+    mode = meta[0]
+    vals, xg, xr = res
+    gf = g[0] if mode == "m" else (g if mode == "f" else None)
+    gt = g[1] if mode == "m" else (g if mode == "t" else None)
+    dvals = jnp.zeros_like(vals)
+    dxg = jnp.zeros_like(xg)
+    dxr = jnp.zeros_like(xr)
+    if gf is not None:
+        dvals = dvals + gf[:, :, None] * xg[:, None, :]
+        dxg = dxg + jnp.einsum("bmk,bm->bk", vals, gf, precision=HI)
+    if gt is not None:
+        dvals = dvals + xr[:, :, None] * gt[:, None, :]
+        dxr = dxr + jnp.einsum("bmk,bk->bm", vals, gt, precision=HI)
+    return (dvals.astype(vals.dtype), dxg.astype(xg.dtype),
+            dxr.astype(xr.dtype))
+
+
+_spmv1_vjp.defvjp(_spmv1_fwd, _spmv1_bwd)
+
+
+def patch_kernel_ok(plan: PatchPlan) -> bool:
+    """The r=1 kernel blocks per-slot arrays as (G, MP)/(G, KP): Mosaic
+    needs G % 8 == 0 (the plan enforces it within a VMEM budget)."""
+    return all(b.G % 8 == 0 for b in plan.buckets)
 
 
 def patch_spmv_kernel(plan: PatchPlan, dev, x, *, transpose: bool = False,
                       interpret: bool = False):
-    """y = A @ x via the one-read Pallas kernel (TPU fast path, r == 1).
+    """y = A @ x (A^T @ x when ``transpose``) via the one-read kernel.
 
-    The transpose of a plain operand reuses the forward kernel with the
-    roles of the one-hot gathers/scatters swapped at the XLA level (gather
-    rows via sOH, kernel runs on the TRANSPOSED canvas? no -- transpose
-    products route to :func:`patch_spmv`, the XLA engine, which is exact
-    and rarely hot; symmetric plans are transpose-invariant up to the
-    diagonal and use their own transposed-diag plan).
+    Same math as :func:`patch_spmv` with the streaming contraction(s) fused
+    into a single pallas_call; the one-hot gathers/scatters run as XLA
+    matmuls on KB-sized operands.  Symmetric plans emit forward + mirrored
+    contributions from one read of the value stream (the reference reads
+    each stored off-diagonal twice, symmetricblockmatrix.jl:394-418);
+    their transpose is handled by the caller via a transposed-diagonal plan.
     """
-    assert not transpose, "kernel path is forward-only; use patch_spmv"
     NC, NR = plan.NC, plan.NR
-    (vals, gOH, sOH, _flag, cc, rs, mk) = dev[0]
+    (vals, gOH, sOH, flag, _cc, _rs, _mk) = dev[0]
     nb, MP, KP = vals.shape
     b = plan.buckets[0]
     x32 = _pad_to(x, (NC + 1) * CC).reshape(NC + 1, CC)
-    xg = jnp.dot(gOH, x32, preferred_element_type=jnp.float32,
-                 precision=HI).reshape(nb, KP)
-    yrows = _rows_r(plan)
+    x8 = _pad_to(x, (NR + 1) * CR).reshape(NR + 1, CR)
+    zg = jnp.zeros((nb, KP), jnp.float32)
+    zr = jnp.zeros((nb, MP), jnp.float32)
+
+    def gather_g():
+        return jnp.dot(gOH, x32, preferred_element_type=jnp.float32,
+                       precision=HI).reshape(nb, KP)
+
+    def gather_r():
+        return jnp.dot(sOH, x8, preferred_element_type=jnp.float32,
+                       precision=HI).reshape(nb, MP)
+
+    def scat_f(yf):
+        u = jnp.dot(sOH.T, yf.reshape(nb * (MP // CR), CR),
+                    preferred_element_type=jnp.float32, precision=HI)
+        return u.reshape(-1)
+
+    def scat_t(yt):
+        u = jnp.dot(gOH.T, yt.reshape(nb * (KP // CC), CC),
+                    preferred_element_type=jnp.float32, precision=HI)
+        return u.reshape(-1)
+
     if plan.symmetric:
-        x8 = _pad_to(x, (NR + 1) * CR).reshape(NR + 1, CR)
-        xrT = jnp.dot(sOH, x8, preferred_element_type=jnp.float32,
-                      precision=HI).reshape(nb, MP).T
-        meta = (True, b.G, MP, KP, yrows, NC + 1)
-        yf, ym = _spmv1_vjp(meta, interpret, vals, cc, rs, mk, xg, xrT)
-        y = (yf.reshape(-1)[:plan.nrows]
-             + ym.reshape(-1)[:plan.nrows])
+        meta = ("m", b.G, MP, KP)
+        yf, yt = _spmv1_vjp(meta, interpret, vals, gather_g(), gather_r())
+        ytm = yt * jnp.repeat(flag, CC, axis=1)
+        y = (scat_f(yf)[:plan.nrows] + scat_t(ytm)[:plan.nrows])
         return y.astype(x.dtype)
-    meta = (False, b.G, MP, KP, yrows, NC + 1)
-    yf = _spmv1_vjp(meta, interpret, vals, cc, rs, mk, xg,
-                    jnp.zeros((MP, nb), jnp.float32))
-    return yf.reshape(-1)[:plan.nrows].astype(x.dtype)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _spmv1_vjp(meta, interpret, vals, cc, rs, mk, xg, xrT):
-    return _spmv_kernel_raw(meta, vals, cc, rs, mk, xg, xrT, interpret)
-
-
-def _spmv1_fwd(meta, interpret, vals, cc, rs, mk, xg, xrT):
-    out = _spmv_kernel_raw(meta, vals, cc, rs, mk, xg, xrT, interpret)
-    return out, (vals, cc, rs, mk, xg, xrT)
-
-
-def _spmv1_bwd(meta, interpret, res, g):
-    mirror, G, MP, KP, yrows, NCp = meta
-    vals, cc, rs, mk, xg, xrT = res
-    nb = vals.shape[0]
-    KC_ = KP // CC
-    if mirror:
-        gf, gm = g
-    else:
-        gf, gm = g, None
-    # cotangents via the XLA formulation (exact; the op is linear)
-    rws = rs[:, None] + jnp.arange(MP)[None, :]
-    gwin = gf[:, 0][rws]                               # [nb, MP]
-    dvals = gwin[:, :, None] * xg[:, None, :]
-    dxg = jnp.einsum("bmk,bm->bk", vals, gwin, precision=HI)
-    dxrT = jnp.zeros_like(xrT)
-    if mirror:
-        fl = (jnp.arange(KC_)[None, :] < mk[:, None]).astype(jnp.float32)
-        gm2 = gm.reshape(-1, CC)                        # [NCp, CC]
-        gch = gm2[cc]                                   # [nb, KC, CC]
-        gch = (gch * fl[..., None]).reshape(nb, KP)
-        dvals = dvals + xrT.T[:, :, None] * gch[:, None, :]
-        dxrT = jnp.einsum("bmk,bk->bm", vals, gch, precision=HI).T
-    z = lambda a: np.zeros(a.shape, jax.dtypes.float0)
-    return (dvals.astype(vals.dtype), z(cc), z(rs), z(mk),
-            dxg.astype(xg.dtype), dxrT.astype(xrT.dtype))
-
-
-_spmv1_vjp.defvjp(_spmv1_fwd, _spmv1_bwd)
+    if transpose:
+        meta = ("t", b.G, MP, KP)
+        yt = _spmv1_vjp(meta, interpret, vals, zg, gather_r())
+        return scat_t(yt)[:plan.ncols].astype(x.dtype)
+    meta = ("f", b.G, MP, KP)
+    yf = _spmv1_vjp(meta, interpret, vals, gather_g(), zr)
+    return scat_f(yf)[:plan.nrows].astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -448,10 +429,20 @@ def _spmm_vjp_bwd(meta, interpret, res, g):
 _spmm_vjp.defvjp(_spmm_vjp_fwd, _spmm_vjp_bwd)
 
 
+R_SLICE = 256  # RHS columns per mono-kernel launch (x+y panels stay in VMEM)
+
+
 def patch_spmm(plan: PatchPlan, dev, X, *, transpose: bool = False,
                interpret: bool = False):
     """Y = A @ X (A^T @ X when ``transpose``); X: [n, r] f32."""
     R = X.shape[1]
+    if R > R_SLICE:
+        parts = [
+            patch_spmm(plan, dev, X[:, lo:lo + R_SLICE], transpose=transpose,
+                       interpret=interpret)
+            for lo in range(0, R, R_SLICE)
+        ]
+        return jnp.concatenate(parts, axis=1)
     rows_c, rows_r = _rows_c(plan), _rows_r(plan)
     if plan.symmetric:
         mode = "mir"
@@ -518,8 +509,9 @@ def patch_apply(plan: PatchPlan, dev, x, *, transpose: bool = False,
     on_kernel_path = interpret or (backend != "xla"
                                    and jax.default_backend() == "tpu")
     if x.ndim == 1:
-        if on_kernel_path and not transpose:
-            return patch_spmv_kernel(plan, dev, x, interpret=interpret)
+        if on_kernel_path and patch_kernel_ok(plan):
+            return patch_spmv_kernel(plan, dev, x, transpose=transpose,
+                                     interpret=interpret)
         return patch_spmv(plan, dev, x, transpose=transpose)
     if on_kernel_path:
         return patch_spmm(plan, dev, x, transpose=transpose,

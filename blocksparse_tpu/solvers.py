@@ -127,7 +127,8 @@ def bicgstab(A, b, *, x0=None, tol=1e-6, atol=0.0, maxiter=None, M=None):
     rhat = r0  # shadow residual, fixed
     one = jnp.ones((), b.dtype)
     # state: (k, x, r, p, v, rho, alpha, omega, stalled)
-    state = (jnp.int32(0), x, r0, jnp.zeros_like(b), jnp.zeros_like(b), one, one, one, jnp.bool_(False))
+    state = (jnp.int32(0), x, r0, jnp.zeros_like(b), jnp.zeros_like(b),
+             one, one, one, jnp.bool_(False))
     eps = jnp.finfo(jnp.real(b).dtype).tiny * 16
 
     def cond(s):
