@@ -257,6 +257,24 @@ class VariableBlockCompressedRowStorage(LinearOperator):
                                                     plan_device_arrays(plan))
         return cache[key]
 
+    def _panel_for(self, transpose: bool):
+        """Lazy K-merged panel plan (see BlockSparseMatrix._panel_for);
+        every block row K-merges into one dense panel, the natural panel
+        population (padded/logical ~1.2 vs the slab plan's ~2.6)."""
+        cache = getattr(self, "_panel_cache", None)
+        if cache is None:
+            cache = {}
+            self._panel_cache = cache
+        key = "T" if transpose else "N"
+        if key not in cache:
+            from ..core.panel import panel_plan_from_layout
+            from ..ops.pallas.panel_spmv import panel_device_arrays
+
+            plan = panel_plan_from_layout(self._layout, transpose=transpose)
+            cache[key] = None if plan is None else (plan,
+                                                    panel_device_arrays(plan))
+        return cache[key]
+
     def _patch_for(self):
         """Lazy merged-patch plan (VBCRS ranges are contiguous by
         construction, so only the dtype gates eligibility)."""
@@ -288,15 +306,22 @@ class VariableBlockCompressedRowStorage(LinearOperator):
                                    transpose=transpose,
                                    backend=self._backend)
         if strip_eligible(self._backend, x, self.dtype):
-            entry = self._strip_for(transpose)
-            if entry is not None and strip_wins(entry[0],
-                                                [(self._layout, 1)]):
+            from ..ops.dispatch import stream_plan_choice
+
+            choice = stream_plan_choice(
+                self._panel_for(transpose), self._strip_for(transpose),
+                [(self._layout, 1)])
+            interp = self._backend == "pallas-interpret"
+            if choice == "panel":
+                from ..ops.pallas.panel_spmv import panel_apply
+
+                entry = self._panel_for(transpose)
+                return panel_apply(entry[0], entry[1], x, interpret=interp)
+            if choice == "strip":
                 from ..ops.pallas.slab_spmv import slab_apply
 
-                return slab_apply(
-                    entry[0], entry[1], x,
-                    interpret=self._backend == "pallas-interpret",
-                )
+                entry = self._strip_for(transpose)
+                return slab_apply(entry[0], entry[1], x, interpret=interp)
         return apply_operand(
             self._buckets, self._layout, self._backend, out_len, x,
             transpose=transpose, conj=conj, precision=self._precision,

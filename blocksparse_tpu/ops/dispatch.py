@@ -142,6 +142,54 @@ def strip_wins(plan, layouts_reads) -> bool:
     return strip < xla
 
 
+# -- panel routing (round 3) --------------------------------------------------
+# K-merged panel plans (core/panel.py) + panel kernel (ops/pallas/
+# panel_spmv.py): the padding-exact evolution of the slab stream.  Routing
+# picks the cheapest byte stream among panel / slab / per-bucket XLA.
+
+
+def panel_mode() -> str:
+    return os.environ.get("BST_PANEL", "auto")
+
+
+def stream_plan_choice(pentry, sentry, layouts_reads) -> str | None:
+    """'panel' | 'strip' | None: cheapest total HBM stream wins.
+
+    ``pentry``/``sentry``: (plan, device_leaves) or None.  The XLA
+    alternative is costed exactly as in :func:`strip_wins` (padded reads,
+    per-bucket launch tax, scattered-index tax).
+    """
+    mode = panel_mode()
+    if mode == "always" and pentry is not None:
+        return "panel"
+    cands = []
+    if pentry is not None and mode != "never":
+        cands.append((pentry[0].tile_bytes + pentry[0].aux_bytes
+                      + _STRIP_TAX, "panel"))
+    if sentry is not None and strip_mode() != "never":
+        cands.append((sentry[0].tile_bytes + sentry[0].aux_bytes
+                      + _STRIP_TAX, "strip"))
+    if strip_mode() == "always" and sentry is not None:
+        return "strip"
+    if not cands:
+        return None
+
+    def idx_tax(lay):
+        return sum(
+            5500 * b.nblocks * (b.mp // b.chunk + b.kp // b.chunk)
+            for b in lay.buckets
+            if b.chunk > 1 and not b.all_contiguous
+        )
+
+    xla = sum(
+        l.padded_nnz * 4 * rd + _STRIP_TAX * max(len(l.buckets), 1)
+        + idx_tax(l) * rd
+        for l, rd in layouts_reads
+    )
+    bytes_, which = min(cands)
+    return which if bytes_ < xla else None
+
+
 # -- patch routing (round 3) --------------------------------------------------
 # The merged-patch layout (core/patch.py) + mono-kernels (ops/patch_engine
 # .py): chunk-exact canvases for contiguous-range populations.  One value

@@ -37,7 +37,8 @@ def _with_backend(A, backend: str):
     B = copy.copy(A)
     B._backend = backend
     # per-instance lazy caches must not leak across routing changes
-    for cache in ("_strip_cache", "_patch_cache", "_autosplit_cache"):
+    for cache in ("_strip_cache", "_patch_cache", "_panel_cache",
+                  "_autosplit_cache"):
         if hasattr(B, cache):
             delattr(B, cache)
     return B
