@@ -5,39 +5,39 @@ the strip/slab plan (padded/logical 2.3-2.9x for BEM-like mixed-size
 populations).  The slab plan (core/strip.py) keeps every block in REAL
 column coordinates, so a ~85-wide block at an arbitrary offset covers ~1.7
 lane chunks (128 lanes each) and the value stream dilutes ~2.5x.  Here the
-column dimension is re-indexed instead:
+column dimension is re-indexed instead: all blocks sharing one row index
+range concatenate along K into a **panel**, panels pack back-to-back in a
+global panel-K space (bases 128-aligned), and the whole operand streams as
+[8, 128] tiles through the panel kernel (ops/pallas/panel_spmv.py).
 
-  * all blocks sharing one row index range concatenate along K into a
-    **panel** -- a dense [H, W] canvas whose lanes are panel-local;
-  * the input vector is pre-gathered OUTSIDE the kernel into panel order
-    (one tiny XLA gather: the index table is one int32 per panel lane,
-    ~1/8 of one tile row of values), so the kernel's gather is exact and
-    sequential;
-  * panels pack back-to-back in a global panel-K space (bases 128-aligned),
-    and the whole operand streams as [8, 128] tiles exactly like the slab
-    kernel -- measured padded/logical drops to ~1.2-1.35 on the BASELINE
-    configs that motivated this (bench.py configs 2, 3, S).
+The input gather is the part that must not cost anything.  Measured on the
+v5e (benchmarks/proto_r3_gather.py): an XLA ELEMENT gather runs at ~5 ns
+per element (256 us for a 36K-element table -- 10x the whole kernel), while
+a 32-wide ROW gather of the same data costs ~3 us.  The layout is therefore
+built around **32-lane segments**:
 
-Scattered index lists need no special casing on the column side -- the
-pre-gather handles ANY list (the reference's sorted-but-non-contiguous BEM
-gather lists, SURVEY.md §4) at zero kernel cost.  Scattered ROW lists embed
-span-dense exactly as the slab plan does (zero [8,128] row strips are
-skipped).
+  * every block occupies the 32-SEGMENT COVER of its column index list,
+    placed in the panel at the columns' in-segment offsets (so a segment of
+    the panel maps to exactly one row of ``x.reshape(-1, 32)``);
+  * the kernel's per-slab x panels are ONE row gather
+    ``x32[segids].reshape(S, CW, 128)`` -- the [K*4, 32] -> [K, 128]
+    reshape is a free row-major view;
+  * scattered column lists (the reference's sorted BEM gather lists,
+    SURVEY.md §4) need no special casing: values embed at in-segment
+    positions, empty segments drop from the cover.
 
-Symmetric fusion (one value read -> forward + mirrored contribution,
-vs the reference reading each stored off-diagonal twice,
-/root/reference/src/symmetricblockmatrix.jl:394-418) works in panel space:
-mirror entries align to 32-lane segments, the kernel emits per-slab mirror
-panels, and a small one-hot SEGMENT matmul maps panel segments back to a
-32-aligned concatenation of the distinct column ranges (the "range space"),
-from which the real output is one gather.  Diagonal blocks simply have no
-rows in that one-hot, so their (harmless) in-kernel mirror product is
-dropped -- no per-tile flag needed.
+Symmetric fusion (one value read -> forward + mirrored contribution, vs the
+reference reading each stored off-diagonal twice,
+/root/reference/src/symmetricblockmatrix.jl:394-418) comes out simpler
+still: because panel segments map 1:1 to real x segments (same lanes), the
+kernel's per-slab mirror panels map back with ONE one-hot segment matmul
+[S*CW*4, n/32] into ``y.reshape(-1, 32)`` -- no scatter, no gather, and
+overlapping or scattered mirror column lists are all legal (contributions
+sum in the matmul).  Diagonal blocks simply have no rows in that one-hot,
+so their (harmless) in-kernel mirror product is dropped.
 
-Gather/scatter tables are per-slab chunk-compacted: the kernel reads a
-[CW, 128] pre-gathered x panel per slab (CW = max distinct lane chunks any
-slab touches), so aux traffic stays at a few % of the value stream even for
-hundreds of distinct chunks.
+Scattered ROW lists embed span-dense exactly as the slab plan does (zero
+[8,128] row strips are skipped).
 """
 
 from __future__ import annotations
@@ -53,9 +53,11 @@ from .strip import CC, RC, _tiles_from_blocks
 __all__ = ["PanelPlan", "build_panel_plan", "panel_plan_from_layout",
            "panel_plan_symmetric", "SEG"]
 
-SEG = 32          # mirror scatter segment (lanes); mirror slots align to it
+SEG = 32               # x-gather segment (lanes) = one row of x.reshape(-1,32)
+NSEG = CC // SEG       # segments per lane chunk
 _ROW_COVER_CAP = 3.2   # scattered rows: max tile-cover dilution
 _MAX_CANVAS = 1 << 26  # per-panel canvas element cap (host memory guard)
+_STEP_TAX = 1 << 17    # per-grid-step overhead, in stream-byte equivalents
 
 
 @dataclass(frozen=True)
@@ -63,36 +65,33 @@ class PanelPlan:
     """Host-side panel plan; hashable by content digest (jit-cache safe)."""
 
     nrows: int
-    ncols: int          # REAL input length (xidx indexes [0, ncols])
+    ncols: int          # REAL input length
     S: int              # slabs
     TS: int             # tiles per slab (adaptive; max real slab size)
     CW: int             # compacted lane chunks per slab
     RW: int             # row-chunk window (adaptive)
     n8p: int            # output row chunks
+    NC32: int           # input segments (ncols // 32, padded)
     mirror: bool
     vals: np.ndarray    # [S*TS, RC, CC] f32
-    rs: np.ndarray      # [S, RW, TS] f32 one-hot (device: bf16)
-    cs: np.ndarray      # [S, TS, CW] f32 one-hot (device: bf16)
-    xidx: np.ndarray    # [S, CW*CC] int32 into x; sentinel == ncols
+    rid8: np.ndarray    # [S, 1, TS] int32 tile row chunk - b8 (RW = pad)
+    cid8: np.ndarray    # [S, 1, TS] int32 tile compact chunk id (CW = pad)
+    segid: np.ndarray   # [S, CW*NSEG] int32 rows of the stacked shifted
+                        # x32 grids; sentinel == len(GRIDS)*NC32
     b8: np.ndarray      # [S] int32 first row chunk per slab
     nt: int             # real (non-padding) tile count
-    # mirror-only leaves (None otherwise)
-    omap: np.ndarray | None   # [S*CW*(CC//SEG), NS] one-hot (device: bf16)
-    yback: np.ndarray | None  # [nrows] int32 into range space; sentinel NS*SEG
-    NS: int = 0               # range-space segments
+    omap: np.ndarray | None  # [S*CW*NSEG, NC32] one-hot (device: bf16)
     _digest: str = field(default="", compare=False)
 
     def __post_init__(self):
         if not self._digest:
             h = hashlib.sha256()
             h.update(np.int64([self.nrows, self.ncols, self.S, self.TS,
-                               self.CW, self.RW, self.n8p, int(self.mirror),
-                               self.NS]).tobytes())
+                               self.CW, self.RW, self.n8p, self.NC32,
+                               int(self.mirror)]).tobytes())
             h.update(np.ascontiguousarray(self.vals).tobytes())
-            h.update(np.ascontiguousarray(self.xidx).tobytes())
+            h.update(np.ascontiguousarray(self.segid).tobytes())
             h.update(np.ascontiguousarray(self.b8).tobytes())
-            if self.yback is not None:
-                h.update(np.ascontiguousarray(self.yback).tobytes())
             object.__setattr__(self, "_digest", h.hexdigest())
 
     def __hash__(self):
@@ -107,19 +106,19 @@ class PanelPlan:
 
     @property
     def aux_bytes(self) -> int:
-        """Streamed per product: one-hots (bf16) + per-slab gathered x."""
-        a = (self.rs.size + self.cs.size) * 2 + self.xidx.size * 4
+        """Streamed per product: id vectors (the gather/scatter one-hots
+        are built IN-KERNEL from these by iota compare) + seg tables."""
+        a = (self.rid8.size + self.cid8.size + self.segid.size) * 4
         if self.omap is not None:
             a += self.omap.size * 2
         return int(a)
 
 
 def _canonical_rows(rows: np.ndarray):
-    """(r0, height, embed_fn) for a row index list.
+    """(r0, height, embed) for a row index list (None embed = contiguous).
 
-    Contiguous lists map 1:1; scattered lists embed span-dense (the cover's
-    all-zero [8,128] strips are dropped later by the tiler).  Returns None
-    when the 8-row cover dilutes the list beyond _ROW_COVER_CAP.
+    Scattered lists embed span-dense; the cover's all-zero [8,128] strips
+    drop in the tiler.  Returns None past _ROW_COVER_CAP dilution.
     """
     r = np.asarray(rows, np.int64)
     if is_contiguous(r):
@@ -132,29 +131,78 @@ def _canonical_rows(rows: np.ndarray):
     return r0, span, (r - r0)
 
 
+GRIDS = (0, 8, 16, 24)   # shifted segment grids (rows of roll(x, -g))
+
+
+def _seg_cover(cols: np.ndarray, NC32: int, *, allow_shift: bool = True):
+    """(segids [ns], lanepos [len(cols)]) -- the 32-segment cover of an
+    index list and each column's lane position inside the cover.
+
+    Four shifted segment grids are available (GRIDS); the one with the
+    smallest cover wins -- on contiguous runs this cuts the head+tail waste
+    from ~31 to ~19 lanes.  Grid g's segment a is row a of
+    ``roll(x, -g).reshape(-1, 32)`` and gets ids offset by ``gi * NC32``.
+    ``allow_shift=False`` (mirror slots) pins grid 0, because the mirror
+    map-back one-hot lands on unshifted rows of y.reshape(-1, 32)."""
+    c = np.asarray(cols, np.int64)
+    best = None
+    for gi, g in enumerate(GRIDS):
+        if g and (not allow_shift or (c < g).any()):
+            continue
+        segs, inv = np.unique((c - g) // SEG, return_inverse=True)
+        if best is None or segs.size < best[0].size:
+            best = (segs + gi * NC32, inv * SEG + ((c - g) % SEG))
+            if segs.size * SEG - c.size < SEG:
+                break
+    return best
+
+
+def _balanced_cuts(rid: np.ndarray, nt: int, RW: int, TS_max: int):
+    """Greedy slab cuts under the RW row window; scan tile budgets and
+    return the (TS, cuts) minimizing padded slab bytes S*TS."""
+    def greedy(budget):
+        slabs = []
+        s0 = 0
+        while s0 < nt:
+            s1 = min(s0 + budget, nt)
+            lo = int(rid[s0])
+            if int(rid[s1 - 1]) - lo >= RW:
+                s1 = s0 + int(np.searchsorted(rid[s0:s1], lo + RW, "left"))
+            slabs.append((s0, s1))
+            s0 = s1
+        return slabs
+
+    best = None
+    for budget in range(64, TS_max + 1, 32):
+        slabs = greedy(budget)
+        TS = -(-max(b - a for a, b in slabs) // 8) * 8
+        score = len(slabs) * (TS * RC * CC * 4 + _STEP_TAX)
+        if best is None or score < best[0]:
+            best = (score, TS, slabs)
+    return best[1], best[2]
+
+
 def build_panel_plan(entries, shape, *, mirror: bool = False,
-                     TS_max: int = 512):
+                     TS_max: int = 1024):
     """Build a PanelPlan from entries ``(block, rows, cols, is_mirror)``.
 
     ``block``  : 2-D float32 values [len(rows), len(cols)]
     ``rows``   : output row index list (any order; scattered allowed)
-    ``cols``   : input column index list (ANY list -- pre-gathered)
-    ``is_mirror``: True for stored symmetric off-diagonals (their transposed
-                 contribution is emitted by the fused kernel); requires
-                 ``mirror=True`` plan, contiguous ``cols``, and pairwise
-                 disjoint-or-identical mirror column ranges.
+    ``cols``   : input column index list (ANY list -- 32-seg-covered)
+    ``is_mirror``: True for stored symmetric off-diagonals (the fused
+                 kernel emits their transposed contribution too).
 
-    Returns None when the population is ineligible (dtype, row dilution,
-    overlapping mirror ranges, empty).
+    Returns None when ineligible (row dilution past the cap, or empty).
     """
     nrows, ncols = map(int, shape)
     if mirror and nrows != ncols:
         return None
+    NC32 = -(-ncols // SEG)
 
     # -- group entries into panels by identical row lists -------------------
     panels: dict = {}
-    mirror_ranges: dict = {}   # (c0, w) -> ñ slot base (filled later)
     canon = []
+    any_mirror = False
     for blk, rows, cols, is_m in entries:
         blk = np.asarray(blk, np.float32)
         rows = np.asarray(rows, np.int64)
@@ -164,111 +212,120 @@ def build_panel_plan(entries, shape, *, mirror: bool = False,
         cr = _canonical_rows(rows)
         if cr is None:
             return None
-        if is_m:
-            if not mirror or not is_contiguous(cols):
-                return None
-            mirror_ranges[(int(cols[0]), cols.size)] = -1
+        any_mirror |= bool(is_m)
         key = (cr[0], rows.tobytes())
-        canon.append((key, cr, blk, cols, bool(is_m)))
+        canon.append((cr, blk, cols, bool(is_m)))
         panels.setdefault(key, []).append(len(canon) - 1)
     if not canon:
         return None
+    mirror = mirror and any_mirror
 
-    if mirror and not mirror_ranges:
-        mirror = False  # no stored off-diagonals: plain (diag-only) plan
-
-    # -- mirror range space: distinct contiguous col ranges, SEG-aligned ----
-    NS = 0
-    yback = None
-    if mirror:
-        ranges = sorted(mirror_ranges)
-        pos = 0
-        last_end = -1
-        for c0, w in ranges:
-            if c0 < last_end:
-                return None  # overlapping distinct ranges: ineligible
-            last_end = c0 + w
-            mirror_ranges[(c0, w)] = pos
-            pos += -(-w // SEG) * SEG
-        NS = pos // SEG
-        yback = np.full(nrows, NS * SEG, np.int32)
-        for (c0, w), base in mirror_ranges.items():
-            yback[c0:c0 + w] = base + np.arange(w, dtype=np.int32)
-
-    # -- pack each panel's blocks along K; build canvases -------------------
-    # panel K slots align to SEG when the plan fuses a mirror pass (so the
-    # mirror map stays segment-exact); plain plans pack densely.
-    align = SEG if mirror else 1
+    # -- pack blocks along a CONTINUOUS 32-granular global K axis -----------
+    # Entries sort by row list, so same-row blocks are adjacent and chunks
+    # shared between neighbors usually carry near-identical row ranges; no
+    # per-panel 128-rounding exists at all (a chunk straddling two row
+    # groups just holds both groups' strips, which the zero-strip skip
+    # keeps exact).
     order = sorted(panels, key=lambda k: k[0])
-    tile_entries = []       # (canvas, rowstart, global K offset)
-    xidx_chunks = []        # per global chunk: [CC] int32 (sentinel ncols)
-    segmap = []             # per global seg: target range-space seg or -1
-    kbase = 0               # global K cursor (panel bases 128-aligned)
+    seg_rows = []         # per global 32-seg: source row of the x32 grids
+    seg_mirr = []         # per global 32-seg: seg feeds the mirror map-back
+    tiledict: dict = {}   # (rid, cid) -> [8, 128] tile
+    kcur = 0              # global K cursor (lanes; always 32-aligned)
+    sent = len(GRIDS) * NC32
     for key in order:
-        ids = panels[key]
-        r0, H, emb = canon[ids[0]][1]
+        # assemble the whole row group: entries pack back-to-back in K
+        group = []
+        r0, H, emb = canon[panels[key][0]][0]
+        rpos = np.arange(H) if emb is None else emb
         W = 0
-        slots = []
-        for i in ids:
-            w = canon[i][3].size
-            W = -(-W // align) * align
-            slots.append(W)
-            W += w
-        Wp = -(-W // CC) * CC
-        if H * Wp > _MAX_CANVAS:
+        for i in panels[key]:
+            _, blk, cols, is_m = canon[i]
+            segs, lanepos = _seg_cover(cols, NC32, allow_shift=not is_m)
+            group.append((blk, lanepos + W, segs, is_m))
+            W += segs.size * SEG
+        if H * W > _MAX_CANVAS:
             return None
-        canvas = np.zeros((H, Wp), np.float32)
-        cidx = np.full(Wp, ncols, np.int32)
-        psegs = np.full(Wp // SEG, -1, np.int64) if mirror else None
-        for i, off in zip(ids, slots):
-            _, cr, blk, cols, is_m = canon[i]
-            w = cols.size
-            if emb is None:
-                canvas[:, off:off + w] += blk
-            else:
-                np.add.at(canvas, (emb[:, None],
-                                   np.arange(off, off + w)[None, :]), blk)
-            cidx[off:off + w] = cols.astype(np.int32)
-            if is_m:
-                base = mirror_ranges[(int(cols[0]), w)]
-                nseg = -(-w // SEG)
-                psegs[off // SEG:off // SEG + nseg] = (
-                    base // SEG + np.arange(nseg))
-        tile_entries.append((canvas, r0, kbase))
-        for j in range(Wp // CC):
-            xidx_chunks.append(cidx[j * CC:(j + 1) * CC])
-            if mirror:
-                segmap.extend(psegs[j * (CC // SEG):(j + 1) * (CC // SEG)])
-        kbase += Wp
+        canvas = np.zeros((H, W), np.float32)
+        for blk, lanes, _, _ in group:
+            np.add.at(canvas, (rpos[:, None], lanes[None, :]), blk)
 
-    built = _tiles_from_blocks([(c, r, k, 0.0) for c, r, k in tile_entries])
-    if built is None:
+        def pieces(koff):
+            """Nonzero [8,128] pieces of the group canvas at offset koff."""
+            ro, co = r0 % RC, koff % CC
+            mp = -(-(ro + H) // RC) * RC
+            kp = -(-(co + W) // CC) * CC
+            pad = np.zeros((mp, kp), np.float32)
+            pad[ro:ro + H, co:co + W] = canvas
+            rb, cb = r0 // RC, koff // CC
+            out = {}
+            for ii in range(mp // RC):
+                rows_ = pad[ii * RC:(ii + 1) * RC]
+                if not rows_.any():
+                    continue
+                for jj in range(kp // CC):
+                    t = rows_[:, jj * CC:(jj + 1) * CC]
+                    if t.any():
+                        out[(rb + ii, cb + jj)] = t
+            return out
+
+        # share the tail chunk of the previous group vs start 128-aligned:
+        # whichever adds fewer tiles over the WHOLE group wins (sharing is
+        # usually a loss for cleanly aligned groups and a big win for wide
+        # singleton covers; a per-entry greedy is myopic about the group's
+        # downstream alignment, so the decision is per group)
+        kfresh = -(-kcur // CC) * CC
+        cands = [kcur] if kcur == kfresh else [kcur, kfresh]
+        best_p = None
+        for koff in cands:
+            p = pieces(koff)
+            new = sum(1 for k in p if k not in tiledict)
+            cost = new * RC * CC * 4 + (
+                (koff - kcur) // SEG) * (NC32 * 2 if mirror else 16)
+            if best_p is None or cost < best_p[0]:
+                best_p = (cost, koff, p)
+        _, koff, p = best_p
+        npad = (koff - kcur) // SEG
+        seg_rows.extend([sent] * npad)
+        seg_mirr.extend([False] * npad)
+        for _, _, segs, is_m in group:
+            seg_rows.extend(segs.tolist())
+            seg_mirr.extend([bool(is_m)] * segs.size)
+        for tk, t in p.items():
+            if tk in tiledict:
+                tiledict[tk] += t
+            else:
+                tiledict[tk] = t.copy()
+        kcur = koff + W
+    if not tiledict:
         return None
-    tiles, rid, cid, _ = built
+    nseg_tot = len(seg_rows)
+    cseg_flat = np.full(-(-nseg_tot // NSEG) * NSEG, sent, np.int64)
+    cseg_flat[:nseg_tot] = seg_rows
+    cmir_flat = np.zeros(cseg_flat.size, bool)
+    cmir_flat[:nseg_tot] = seg_mirr
+    chunk_segs = cseg_flat.reshape(-1, NSEG)
+    chunk_mirror = cmir_flat.reshape(-1, NSEG)
+
+    keys = sorted(tiledict)
+    rid = np.asarray([k[0] for k in keys], np.int64)
+    cid = np.asarray([k[1] for k in keys], np.int64)
+    tiles = np.stack([tiledict[k] for k in keys])
     nt = tiles.shape[0]
     n8 = -(-nrows // RC)
 
-    # -- adaptive slab cuts: pick the (RW, cuts) with the least total bytes -
+    # -- adaptive slab cuts: least total streamed bytes over RW choices -----
     best = None
     for RW in (16, 32, 64, 128):
         if RW > max(n8, 16):
             continue
-        slabs = []
-        s0 = 0
-        while s0 < nt:
-            s1 = min(s0 + TS_max, nt)
-            lo = int(rid[s0])
-            if int(rid[s1 - 1]) - lo >= RW:
-                s1 = s0 + int(np.searchsorted(rid[s0:s1], lo + RW, "left"))
-            slabs.append((s0, s1))
-            s0 = s1
-        TS = -(-max(b - a for a, b in slabs) // 8) * 8
+        TS, slabs = _balanced_cuts(rid, nt, RW, TS_max)
         S = len(slabs)
         cw = 8
         for a, b in slabs:
             cw = max(cw, -(-np.unique(cid[a:b]).size // 8) * 8)
-        bytes_ = S * TS * RC * CC * 4 + S * (RW * TS + TS * cw) * 2 \
-            + S * cw * CC * 4
+        bytes_ = (S * TS * RC * CC * 4 + S * TS * 8
+                  + S * cw * NSEG * 4 + S * _STEP_TAX
+                  + (S * cw * NSEG * NC32 * 2 if mirror else 0))
         if best is None or bytes_ < best[0]:
             best = (bytes_, RW, TS, S, cw, slabs)
     if best is None:
@@ -276,36 +333,33 @@ def build_panel_plan(entries, shape, *, mirror: bool = False,
     _, RW, TS, S, CW, slabs = best
     n8p = max(n8, RW)
 
-    xchunks = np.stack(xidx_chunks)          # [K̂, CC]
+    cseg = chunk_segs                      # [K̂, NSEG]
+    cmir = chunk_mirror                    # [K̂, NSEG]
     vals = np.zeros((S * TS, RC, CC), np.float32)
-    rs = np.zeros((S, RW, TS), np.float32)
-    cs = np.zeros((S, TS, CW), np.float32)
-    xidx = np.full((S, CW * CC), ncols, np.int32)
+    rid8 = np.full((S, 1, TS), RW, np.int32)
+    cid8 = np.full((S, 1, TS), CW, np.int32)
+    segid = np.full((S, CW * NSEG), len(GRIDS) * NC32, np.int32)
     b8 = np.zeros((S,), np.int32)
-    omap = (np.zeros((S * CW * (CC // SEG), NS), np.float32)
-            if mirror else None)
-    segarr = np.asarray(segmap, np.int64) if mirror else None
+    omap = np.zeros((S * CW * NSEG, NC32), np.float32) if mirror else None
     for si, (a, b) in enumerate(slabs):
         cnt = b - a
         base = min(int(rid[a]), n8p - RW)
         b8[si] = base
         vals[si * TS:si * TS + cnt] = tiles[a:b]
-        rs[si, rid[a:b] - base, np.arange(cnt)] = 1.0
+        rid8[si, 0, :cnt] = rid[a:b] - base
         uniq, inv = np.unique(cid[a:b], return_inverse=True)
-        cs[si, np.arange(cnt), inv] = 1.0
-        xidx[si, :uniq.size * CC] = xchunks[uniq].reshape(-1)
+        cid8[si, 0, :cnt] = inv
+        segid[si, :uniq.size * NSEG] = cseg[uniq].reshape(-1)
         if mirror:
-            nsg = CC // SEG
-            for ci, gchunk in enumerate(uniq):
-                for q in range(nsg):
-                    t = segarr[gchunk * nsg + q]
-                    if t >= 0:
-                        omap[(si * CW + ci) * nsg + q, t] = 1.0
+            rows_ = si * CW * NSEG + np.arange(uniq.size * NSEG)
+            tgt = cseg[uniq].reshape(-1)
+            live = cmir[uniq].reshape(-1) & (tgt < NC32)
+            omap[rows_[live], tgt[live]] = 1.0
 
     return PanelPlan(
         nrows=nrows, ncols=ncols, S=S, TS=TS, CW=CW, RW=RW, n8p=n8p,
-        mirror=bool(mirror), vals=vals, rs=rs, cs=cs, xidx=xidx, b8=b8,
-        nt=nt, omap=omap, yback=yback, NS=NS,
+        NC32=NC32, mirror=bool(mirror), vals=vals, rid8=rid8, cid8=cid8,
+        segid=segid, b8=b8, nt=nt, omap=omap,
     )
 
 
@@ -326,7 +380,7 @@ def _layout_entries(layout: BlockLayout, *, transpose: bool,
 
 
 def panel_plan_from_layout(layout: BlockLayout, *, transpose: bool = False,
-                           TS_max: int = 512):
+                           TS_max: int = 1024):
     """General (non-symmetric) panel plan; None if ineligible."""
     if layout.nblocks == 0:
         return None
@@ -340,9 +394,29 @@ def panel_plan_from_layout(layout: BlockLayout, *, transpose: bool = False,
         TS_max=TS_max)
 
 
+# Measured on the v5e (benchmarks/proto_r3_panel.py / proto_r3_mirror.py):
+# the plain panel kernel streams at 638-764 GB/s while the fused mirror
+# kernel is VPU-bound at 411-530 (each tile takes a second multiply+reduce
+# pass).  Per streamed byte the mirror kernel therefore costs ~1.35x.
+_MIRROR_RATE_PENALTY = 1.35
+
+
 def panel_plan_symmetric(dlayout: BlockLayout, olayout: BlockLayout, *,
-                         transpose_diag: bool = False, TS_max: int = 512):
-    """Fused symmetric panel plan: S = D + O + O^T in one kernel launch.
+                         transpose_diag: bool = False, TS_max: int = 1024):
+    """Symmetric panel plan: S = D + O + O^T in one kernel launch.
+
+    Two candidate layouts, decided by a measured cost model:
+
+      * **fused**: store each off-diagonal once; the kernel emits both
+        contributions from one value read (the one-read promise the
+        reference lacks, symmetricblockmatrix.jl:394-418) -- minimal
+        traffic, but the kernel is VPU-bound at ~1.35x cost per byte;
+      * **expanded**: materialize O^T blocks too and run the plain
+        (forward-only) kernel -- ~1.2-1.5x traffic at full streaming rate.
+
+    On the v5e the expanded plan usually wins for r=1 (rate advantage
+    exceeds its traffic overhead); the fused plan remains the choice when
+    expansion dilutes traffic more than the VPU penalty.
 
     ``transpose_diag`` builds the S^T variant (diagonal blocks transpose;
     the off-diagonal pair is transpose-invariant,
@@ -352,7 +426,23 @@ def panel_plan_symmetric(dlayout: BlockLayout, olayout: BlockLayout, *,
         b.values.dtype for b in olayout.buckets]
     if dts and np.result_type(*dts) != np.float32:
         return None
-    entries = (_layout_entries(dlayout, transpose=transpose_diag)
-               + _layout_entries(olayout, transpose=False, is_mirror=True))
-    return build_panel_plan(entries, (dlayout.nrows, dlayout.ncols),
-                            mirror=True, TS_max=TS_max)
+    shape = (dlayout.nrows, dlayout.ncols)
+    diag = _layout_entries(dlayout, transpose=transpose_diag)
+    off = _layout_entries(olayout, transpose=False)
+    off_t = _layout_entries(olayout, transpose=True)
+    fused = build_panel_plan(
+        diag + [(b, r, c, True) for b, r, c, _ in off], shape,
+        mirror=True, TS_max=TS_max)
+    expanded = build_panel_plan(diag + off + off_t, shape, mirror=False,
+                                TS_max=TS_max)
+
+    def cost(p, factor):
+        return None if p is None else (p.tile_bytes + p.aux_bytes) * factor
+
+    cf = cost(fused, _MIRROR_RATE_PENALTY)
+    ce = cost(expanded, 1.0)
+    if cf is None:
+        return expanded
+    if ce is None:
+        return fused
+    return expanded if ce <= cf else fused

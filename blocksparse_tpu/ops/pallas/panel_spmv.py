@@ -4,18 +4,22 @@ Same streaming skeleton as the slab kernel (ops/pallas/slab_spmv.py) -- the
 whole operand streams once as [TS, 8, 128] slabs, gather/scatter are
 slab-level one-hot MXU matmuls -- but the tiles live in the panel-K space
 of core/panel.py, which cuts padded/logical traffic from ~2.3-2.9x to
-~1.2-1.35x on mixed-size contiguous populations (VERDICT r2 #1):
+~1.3-1.6x on mixed-size contiguous populations (VERDICT r2 #1):
 
-    xs    streamed [CW, 128] per slab: x pre-gathered OUTSIDE the kernel
-          (per-slab chunk-compacted, so aux stays a few % of values)
+    xs    streamed [CW, 128] per slab: x row-gathered OUTSIDE the kernel at
+          32-segment granularity (x32[segid] -- measured ~3 us where the
+          element gather costs ~250 us, benchmarks/proto_r3_gather.py)
     xg    = Cs @ xs               [TS,CW]@[CW,128]
     yf    = sum_k(V * xg)         VPU -> [TS, 8]
     y8   += Rs^T @ yf             into the VMEM row window
     (mirror plans additionally, from the SAME value read:)
     xr    = Rs @ x8win            [TS, 8] x at tile rows
     yt    = sum_m(V * xr)         VPU -> [TS, 128]
-    ym[s] = Cs^T @ yt             per-slab mirror panel, mapped back
-                                  outside by one one-hot segment matmul
+    ym[s] = Cs^T @ yt             per-slab mirror panel
+
+Because panel segments map 1:1 onto rows of x.reshape(-1, 32) (same
+lanes), the mirror panels map back with ONE one-hot segment matmul into
+y.reshape(-1, 32): no scatter, no gather, overlap-safe.
 
 The fused mirror pass realizes the one-read symmetric promise (the
 reference reads each stored off-diagonal block twice,
@@ -34,7 +38,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...core.panel import SEG, PanelPlan
+from ...core.panel import NSEG, SEG, PanelPlan
 from ...core.strip import CC, RC
 
 __all__ = ["panel_apply", "panel_device_arrays"]
@@ -43,20 +47,43 @@ HI = jax.lax.Precision.HIGHEST
 
 
 def panel_device_arrays(plan: PanelPlan):
-    """Device-ready leaves (one-hots bf16: 0/1 exact)."""
+    """Device-ready leaves (map-back one-hot bf16: 0/1 exact)."""
     return (
         jnp.asarray(plan.vals),
-        jnp.asarray(plan.rs, dtype=jnp.bfloat16),
-        jnp.asarray(plan.cs, dtype=jnp.bfloat16),
-        jnp.asarray(plan.xidx),
+        jnp.asarray(plan.rid8),
+        jnp.asarray(plan.cid8),
+        jnp.asarray(plan.segid),
         jnp.asarray(plan.b8),
         None if plan.omap is None else jnp.asarray(plan.omap,
                                                    dtype=jnp.bfloat16),
-        None if plan.yback is None else jnp.asarray(plan.yback),
     )
 
 
-def _pkern_plain(b8_ref, xs_ref, vals_ref, rs_ref, cs_ref, y8_ref, *, RW):
+def _onehots(rid_ref, cid_ref, RW, CW):
+    """Build the scatter/gather one-hots from the streamed id vectors:
+    R [RW, TS] (row window scatter) and CT [CW, TS] (= C^T, chunk gather).
+    An iota compare per slab replaces ~1 MB of streamed one-hot matrices
+    with two [1, TS] int vectors (measured equal MXU behavior; the dots
+    contract CT on its first dim via dot_general, no transposes)."""
+    ridv = rid_ref[0]                               # [1, TS] int32
+    cidv = cid_ref[0]                               # [1, TS] int32
+    TS = ridv.shape[-1]
+    R = (jax.lax.broadcasted_iota(jnp.int32, (RW, TS), 0)
+         == ridv).astype(jnp.float32)
+    CT = (jax.lax.broadcasted_iota(jnp.int32, (CW, TS), 0)
+          == cidv).astype(jnp.float32)
+    return R, CT
+
+
+def _dg0(a, b):
+    """Contract a's dim 0 with b's dim 0: [K, M] x [K, N] -> [M, N]."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=HI)
+
+
+def _pkern_plain(b8_ref, xs_ref, vals_ref, rid_ref, cid_ref, y8_ref,
+                 *, RW, CW):
     s = pl.program_id(0)
 
     @pl.when(s == 0)
@@ -64,18 +91,16 @@ def _pkern_plain(b8_ref, xs_ref, vals_ref, rs_ref, cs_ref, y8_ref, *, RW):
         y8_ref[:] = jnp.zeros_like(y8_ref)
 
     V = vals_ref[:]                                 # [TS, 8, 128]
-    R = rs_ref[0].astype(jnp.float32)               # [RW, TS]
-    C = cs_ref[0].astype(jnp.float32)               # [TS, CW]
+    R, CT = _onehots(rid_ref, cid_ref, RW, CW)
     base = b8_ref[s]
-    xg = jnp.dot(C, xs_ref[0], preferred_element_type=jnp.float32,
-                 precision=HI)                      # [TS, 128]
+    xg = _dg0(CT, xs_ref[0])                        # [TS, 128]
     yf = jnp.sum(V * xg[:, None, :], axis=2)        # [TS, 8]
     y8_ref[pl.ds(base, RW), :] += jnp.dot(
         R, yf, preferred_element_type=jnp.float32, precision=HI)
 
 
-def _pkern_mirror(b8_ref, xs_ref, x8_ref, vals_ref, rs_ref, cs_ref,
-                  y8_ref, ym_ref, *, RW):
+def _pkern_mirror(b8_ref, xs_ref, x8_ref, vals_ref, rid_ref, cid_ref,
+                  y8_ref, ym_ref, *, RW, CW):
     s = pl.program_id(0)
 
     @pl.when(s == 0)
@@ -83,37 +108,49 @@ def _pkern_mirror(b8_ref, xs_ref, x8_ref, vals_ref, rs_ref, cs_ref,
         y8_ref[:] = jnp.zeros_like(y8_ref)
 
     V = vals_ref[:]
-    R = rs_ref[0].astype(jnp.float32)
-    C = cs_ref[0].astype(jnp.float32)
+    R, CT = _onehots(rid_ref, cid_ref, RW, CW)
     base = b8_ref[s]
-    xg = jnp.dot(C, xs_ref[0], preferred_element_type=jnp.float32,
-                 precision=HI)
+    xg = _dg0(CT, xs_ref[0])
     yf = jnp.sum(V * xg[:, None, :], axis=2)
     y8_ref[pl.ds(base, RW), :] += jnp.dot(
         R, yf, preferred_element_type=jnp.float32, precision=HI)
 
     xw = x8_ref[pl.ds(base, RW), :]                 # [RW, 8]
-    xr = jnp.dot(R.T, xw, preferred_element_type=jnp.float32,
-                 precision=HI)                      # [TS, 8]
+    xr = _dg0(R, xw)                                # [TS, 8]
     yt = jnp.sum(V * xr[:, :, None], axis=1)        # [TS, 128]
-    ym_ref[0] = jnp.dot(C.T, yt, preferred_element_type=jnp.float32,
+    ym_ref[0] = jnp.dot(CT, yt, preferred_element_type=jnp.float32,
                         precision=HI)               # [CW, 128] per slab
+
+
+def _gather_xs(x, segid, S, CW, NC32, ncols):
+    """Per-slab x panels via a 32-wide ROW gather (the fast gather).
+
+    Source rows come from the four shifted segment grids of
+    core/panel.GRIDS (three cheap rolls) plus a zero sentinel row."""
+    from ...core.panel import GRIDS
+
+    pad = NC32 * SEG - ncols
+    xp = jnp.pad(x, (0, pad)) if pad else x
+    grids = [jnp.roll(xp, -g).reshape(NC32, SEG) if g else
+             xp.reshape(NC32, SEG) for g in GRIDS]
+    x32 = jnp.concatenate(grids + [jnp.zeros((1, SEG), jnp.float32)])
+    # [S*CW*NSEG, 32] -> [S, CW, 128]: row-major view, no data movement
+    return x32[segid.reshape(-1)].reshape(S, CW, CC)
 
 
 @functools.partial(jax.jit, static_argnames=("meta", "interpret"))
 def _launch(dev, x, *, meta, interpret):
-    """meta = (S, TS, CW, RW, n8p, nrows, ncols, mirror, NS)."""
-    S, TS, CW, RW, n8p, nrows, ncols, mirror, NS = meta
-    vals, rs, cs, xidx, b8, omap, yback = dev
+    """meta = (S, TS, CW, RW, n8p, nrows, ncols, NC32, mirror)."""
+    S, TS, CW, RW, n8p, nrows, ncols, NC32, mirror = meta
+    vals, rid8, cid8, segid, b8, omap = dev
     xf = x.astype(jnp.float32)
-    xext = jnp.concatenate([xf, jnp.zeros((1,), jnp.float32)])
-    xs = xext[xidx].reshape(S, CW, CC)              # pre-gathered panels
+    xs = _gather_xs(xf, segid, S, CW, NC32, ncols)
     params = dict(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         cost_estimate=pl.CostEstimate(
             flops=2 * vals.size * (2 if mirror else 1),
-            bytes_accessed=vals.size * 4 + (rs.size + cs.size) * 2
+            bytes_accessed=vals.size * 4 + (rid8.size + cid8.size) * 4
             + xs.size * 4 + n8p * RC * 4,
             transcendentals=0),
         interpret=interpret,
@@ -128,8 +165,8 @@ def _launch(dev, x, *, meta, interpret):
                 pl.BlockSpec((1, CW, CC), lambda s, b: (s, 0, 0)),
                 pl.BlockSpec((n8p, RC), lambda s, b: (0, 0)),
                 pl.BlockSpec((TS, RC, CC), lambda s, b: (s, 0, 0)),
-                pl.BlockSpec((1, RW, TS), lambda s, b: (s, 0, 0)),
-                pl.BlockSpec((1, TS, CW), lambda s, b: (s, 0, 0)),
+                pl.BlockSpec((1, 1, TS), lambda s, b: (s, 0, 0)),
+                pl.BlockSpec((1, 1, TS), lambda s, b: (s, 0, 0)),
             ],
             out_specs=[
                 pl.BlockSpec((n8p, RC), lambda s, b: (0, 0)),
@@ -137,41 +174,39 @@ def _launch(dev, x, *, meta, interpret):
             ],
         )
         y8, ym = pl.pallas_call(
-            functools.partial(_pkern_mirror, RW=RW),
+            functools.partial(_pkern_mirror, RW=RW, CW=CW),
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((n8p, RC), jnp.float32),
                 jax.ShapeDtypeStruct((S, CW, CC), jnp.float32),
             ],
             **params,
-        )(b8, xs, x8, vals, rs, cs)
+        )(b8, xs, x8, vals, rid8, cid8)
         y = y8.reshape(-1)[:nrows]
-        # map the mirror panels back: one one-hot SEGMENT matmul into the
-        # 32-aligned range space, then one gather to real coordinates
-        ym32 = ym.reshape(S * CW * (CC // SEG), SEG)
-        yr = jnp.dot(omap.astype(jnp.float32).T, ym32,
-                     preferred_element_type=jnp.float32,
-                     precision=HI)                  # [NS, SEG]
-        yrext = jnp.concatenate(
-            [yr.reshape(-1), jnp.zeros((1,), jnp.float32)])
-        return (y + yrext[yback]).astype(x.dtype)
+        # mirror map-back: panel segments -> rows of y.reshape(-1, 32),
+        # one one-hot MXU matmul (overlaps sum; no scatter anywhere)
+        ym32 = ym.reshape(S * CW * NSEG, SEG)
+        y32 = jnp.dot(omap.astype(jnp.float32).T, ym32,
+                      preferred_element_type=jnp.float32,
+                      precision=HI)                 # [NC32, 32]
+        return (y + y32.reshape(-1)[:nrows]).astype(x.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(S,),
         in_specs=[
             pl.BlockSpec((1, CW, CC), lambda s, b: (s, 0, 0)),
             pl.BlockSpec((TS, RC, CC), lambda s, b: (s, 0, 0)),
-            pl.BlockSpec((1, RW, TS), lambda s, b: (s, 0, 0)),
-            pl.BlockSpec((1, TS, CW), lambda s, b: (s, 0, 0)),
+            pl.BlockSpec((1, 1, TS), lambda s, b: (s, 0, 0)),
+            pl.BlockSpec((1, 1, TS), lambda s, b: (s, 0, 0)),
         ],
         out_specs=pl.BlockSpec((n8p, RC), lambda s, b: (0, 0)),
     )
     y8 = pl.pallas_call(
-        functools.partial(_pkern_plain, RW=RW),
+        functools.partial(_pkern_plain, RW=RW, CW=CW),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n8p, RC), jnp.float32),
         **params,
-    )(b8, xs, vals, rs, cs)
+    )(b8, xs, vals, rid8, cid8)
     return y8.reshape(-1)[:nrows].astype(x.dtype)
 
 
@@ -179,14 +214,15 @@ def _xla_forward(dev, x, meta):
     """Reference-semantics XLA evaluation of the panel plan (also drives the
     VJP: the operator is linear, so jax.vjp of this pure-XLA path yields
     exact cotangents for both x and the tile values)."""
-    S, TS, CW, RW, n8p, nrows, ncols, mirror, NS = meta
-    vals, rs, cs, xidx, b8, omap, yback = dev
+    S, TS, CW, RW, n8p, nrows, ncols, NC32, mirror = meta
+    vals, rid8, cid8, segid, b8, omap = dev
     xf = x.astype(jnp.float32)
-    xext = jnp.concatenate([xf, jnp.zeros((1,), jnp.float32)])
-    xs = xext[xidx].reshape(S, CW, CC)
+    xs = _gather_xs(xf, segid, S, CW, NC32, ncols)
     V = vals.reshape(S, TS, RC, CC)
-    R = rs.astype(jnp.float32)
-    C = cs.astype(jnp.float32)
+    R = (jnp.arange(RW, dtype=jnp.int32)[None, :, None]
+         == rid8).astype(jnp.float32)              # [S, RW, TS]
+    C = (jnp.arange(CW, dtype=jnp.int32)[None, :, None]
+         == cid8).astype(jnp.float32).transpose(0, 2, 1)   # [S, TS, CW]
     xg = jnp.einsum("stc,sck->stk", C, xs, precision=HI)
     yf = jnp.einsum("stmk,stk->stm", V, xg, precision=HI)
     upd = jnp.einsum("swt,stm->swm", R, yf, precision=HI)
@@ -194,7 +230,8 @@ def _xla_forward(dev, x, meta):
     for s in range(S):
         y8 = jax.lax.dynamic_update_slice(
             y8,
-            jax.lax.dynamic_slice(y8, (b8[s], jnp.int32(0)), (RW, RC)) + upd[s],
+            jax.lax.dynamic_slice(
+                y8, (b8[s], jnp.int32(0)), (RW, RC)) + upd[s],
             (b8[s], jnp.int32(0)))
     y = y8.reshape(-1)[:nrows]
     if mirror:
@@ -206,11 +243,9 @@ def _xla_forward(dev, x, meta):
         xr = jnp.einsum("swt,swm->stm", R, xw, precision=HI)
         yt = jnp.einsum("stmk,stm->stk", V, xr, precision=HI)
         ym = jnp.einsum("stc,stk->sck", C, yt, precision=HI)
-        ym32 = ym.reshape(S * CW * (CC // SEG), SEG)
-        yr = jnp.dot(omap.astype(jnp.float32).T, ym32, precision=HI)
-        yrext = jnp.concatenate(
-            [yr.reshape(-1), jnp.zeros((1,), jnp.float32)])
-        y = y + yrext[yback]
+        ym32 = ym.reshape(S * CW * NSEG, SEG)
+        y32 = jnp.dot(omap.astype(jnp.float32).T, ym32, precision=HI)
+        y = y + y32.reshape(-1)[:nrows]
     return y.astype(x.dtype)
 
 
@@ -241,5 +276,5 @@ _panel_vjp.defvjp(_panel_vjp_fwd, _panel_vjp_bwd)
 def panel_apply(plan: PanelPlan, dev, x, *, interpret: bool = False):
     """Apply the panel plan: y = A @ x.  Differentiable in x and values."""
     meta = (plan.S, plan.TS, plan.CW, plan.RW, plan.n8p, plan.nrows,
-            plan.ncols, plan.mirror, plan.NS)
+            plan.ncols, plan.NC32, plan.mirror)
     return _panel_vjp(dev, x, meta, interpret)
