@@ -134,6 +134,23 @@ def build_config_s(n=16384, nblocks=400, bs=128, seed=12, **kw):
     return bst.BlockSparseMatrix(blocks, rows, cols, (n, n), **kw)
 
 
+
+def engine_label(A, layouts_reads):
+    """Which stream engine auto routes to, and its actual stream ratio."""
+    try:
+        from blocksparse_tpu.ops.dispatch import stream_plan_choice
+
+        choice = stream_plan_choice(
+            A._panel_for(False), A._strip_for(False), layouts_reads)
+        if choice:
+            plan = (A._panel_for(False) if choice == "panel"
+                    else A._strip_for(False))[0]
+            return choice, (plan.tile_bytes + plan.aux_bytes)
+    except Exception:
+        pass
+    return "buckets", None
+
+
 def bench_modes(A, x, iters=(10, 60)):
     """(dep_stats, piped_stats): dependent-chain latency and pipelined
     per-product throughput, each {min, median, max, n} seconds."""
@@ -282,11 +299,12 @@ def main():
         xs = jnp.asarray(rng.standard_normal(S.shape[0]).astype(np.float32))
         dts, pips = bench_modes(S, xs, iters=(5, 25))
         s_logical = (S._dlayout.nnz + S._olayout.nnz) * 4 + 2 * S.shape[0] * 4
-        s_padded = (S._dlayout.padded_nnz + S._olayout.padded_nnz) * 4
         roof2 = s_logical / bw
+        eng2, st2 = engine_label(S, [(S._dlayout, 1), (S._olayout, 2)])
+        rat2 = f"{st2/s_logical:.2f}" if st2 else "n/a"
         log(
-            f"# config2 symmetric spmv (half-stored, padded/logical "
-            f"{s_padded/s_logical:.2f}): piped "
+            f"# config2 symmetric spmv (half-stored, {eng2} engine, "
+            f"streamed/logical {rat2}): piped "
             f"{pips['median']*1e6:.1f} us {spread_us(pips)} = "
             f"{100*roof2/pips['median']:.1f}% of LOGICAL roofline"
             f" | dep {dts['median']*1e6:.1f} us {spread_us(dts)} = "
@@ -302,9 +320,11 @@ def main():
         dtv, pipv = bench_modes(V, xv, iters=(5, 25))
         v_logical = V.layout.nnz * 4 + 2 * V.shape[1] * 4
         roof3 = v_logical / bw
+        eng3, st3 = engine_label(V, [(V._layout, 1)])
+        rat3 = f"{st3/v_logical:.2f}" if st3 else "n/a"
         log(
-            f"# config3 vbcrs mixed 16-128 spmv (padded/logical "
-            f"{V.layout.padded_nnz*4/v_logical:.2f}): piped "
+            f"# config3 vbcrs mixed 16-128 spmv ({eng3} engine, "
+            f"streamed/logical {rat3}): piped "
             f"{pipv['median']*1e6:.1f} us {spread_us(pipv)} = "
             f"{100*roof3/pipv['median']:.1f}% of LOGICAL roofline"
             f" | dep {dtv['median']*1e6:.1f} us {spread_us(dtv)} = "
@@ -319,11 +339,11 @@ def main():
         xs2 = jnp.asarray(rng.standard_normal(As.shape[1]).astype(np.float32))
         dsc, psc = bench_modes(As, xs2, iters=(5, 25))
         s_bytes = As.nnz * 4 + 2 * As.shape[0] * 4
-        covered = sum(bk.chunk > 1 for bk in As.layout.buckets)
+        engS, stS = engine_label(As, [(As._layout, 1)])
+        ratS = f"{stS/s_bytes:.2f}" if stS else "n/a"
         log(
-            f"# configS scattered spmv (chunk-cover {covered}/"
-            f"{len(As.layout.buckets)} buckets, padded/logical "
-            f"{As.layout.padded_nnz/As.nnz:.2f}): piped {psc['median']*1e6:.1f}"
+            f"# configS scattered spmv ({engS} engine, streamed/logical "
+            f"{ratS}): piped {psc['median']*1e6:.1f}"
             f" us {spread_us(psc)} = {100*(s_bytes/psc['median'])/bw:.1f}% of "
             f"LOGICAL roofline | dep {dsc['median']*1e6:.1f} us "
             f"{spread_us(dsc)} = {100*(s_bytes/dsc['median'])/bw:.1f}%"

@@ -57,7 +57,7 @@ SEG = 32               # x-gather segment (lanes) = one row of x.reshape(-1,32)
 NSEG = CC // SEG       # segments per lane chunk
 _ROW_COVER_CAP = 3.2   # scattered rows: max tile-cover dilution
 _MAX_CANVAS = 1 << 26  # per-panel canvas element cap (host memory guard)
-_STEP_TAX = 1 << 17    # per-grid-step overhead, in stream-byte equivalents
+_STEP_TAX = 1 << 18    # per-grid-step overhead, in stream-byte equivalents
 
 
 @dataclass(frozen=True)
@@ -131,7 +131,7 @@ def _canonical_rows(rows: np.ndarray):
     return r0, span, (r - r0)
 
 
-GRIDS = (0, 8, 16, 24)   # shifted segment grids (rows of roll(x, -g))
+GRIDS = tuple(range(0, 32, 4))   # shifted seg grids (rows of roll(x, -g))
 
 
 def _seg_cover(cols: np.ndarray, NC32: int, *, allow_shift: bool = True):
@@ -173,7 +173,10 @@ def _balanced_cuts(rid: np.ndarray, nt: int, RW: int, TS_max: int):
         return slabs
 
     best = None
-    for budget in range(64, TS_max + 1, 32):
+    # measured-good slab sizes on the v5e: 256-768 tiles (1-3 MB);
+    # smaller slabs pay per-step overhead, larger ones pipeline worse
+    # (benchmarks/proto_r3_rw.py, proto_r3_panel.py)
+    for budget in range(256, min(TS_max, 768) + 1, 32):
         slabs = greedy(budget)
         TS = -(-max(b - a for a, b in slabs) // 8) * 8
         score = len(slabs) * (TS * RC * CC * 4 + _STEP_TAX)

@@ -174,20 +174,24 @@ def stream_plan_choice(pentry, sentry, layouts_reads) -> str | None:
     if not cands:
         return None
 
-    def idx_tax(lay):
-        return sum(
-            5500 * b.nblocks * (b.mp // b.chunk + b.kp // b.chunk)
-            for b in lay.buckets
-            if b.chunk > 1 and not b.all_contiguous
-        )
+    def bucket_cost(b):
+        # Scattered buckets pay gather/scatter machinery scaling with the
+        # chunk granularity.  Measured v5e anchors: chunk-64 k-merge
+        # concatenations run at ~1.05x their padded bytes (config1's 93.5%
+        # headline goes through them), chunk-4 cover buckets at ~2x
+        # (configS element path: 112 us = 92 MB-equivalent on 47 MB
+        # padded), element (chunk-1) mask-select at ~3x.  No launch taxes
+        # on the XLA side: pipelined use hides them, and omitting them
+        # biases toward the proven bucket engines.
+        pb = b.nblocks * b.mp * b.kp * 4
+        return pb if b.all_contiguous else pb * min(3.0, 1.0 + 4.0 / b.chunk)
 
     xla = sum(
-        l.padded_nnz * 4 * rd + _STRIP_TAX * max(len(l.buckets), 1)
-        + idx_tax(l) * rd
+        sum(bucket_cost(b) for b in l.buckets) * rd
         for l, rd in layouts_reads
     )
     bytes_, which = min(cands)
-    return which if bytes_ < xla else None
+    return which if bytes_ - _STRIP_TAX < xla else None
 
 
 # -- patch routing (round 3) --------------------------------------------------
