@@ -207,10 +207,15 @@ class LinearOperator:
 
         if not np.issubdtype(np.dtype(self.dtype), np.complexfloating):
             return None
-        if getattr(self, "_backend", None) == "xla":
-            return None
         if jax.default_backend() != "tpu":
             return None
+        from ..core.device import complex_stays_on_host
+
+        if not complex_stays_on_host(self.dtype):
+            # BST_COMPLEX_DEVICE=1: the deployment's TPU runtime supports
+            # complex transfers; honor backend="xla" native complex.
+            if getattr(self, "_backend", None) == "xla":
+                return None
         from ..complexops import autosplit
 
         return autosplit(self)

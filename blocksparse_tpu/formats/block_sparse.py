@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import schedule as sched
+from ..core.device import stage_buckets
 from ..core.layout import BlockLayout, build_layout
 from ..core.operator import LinearOperator
 from ..ops.dispatch import apply_operand
@@ -75,10 +76,7 @@ class BlockSparseMatrix(LinearOperator):
             blocks, rowindices, colindices, shape,
             granularity=granularity, dtype=dtype,
         )
-        self._buckets = tuple(
-            (jnp.asarray(b.values), jnp.asarray(b.row_idx), jnp.asarray(b.col_idx))
-            for b in self._layout.buckets
-        )
+        self._buckets = stage_buckets(self._layout.buckets)
         if sched.isserial(self._schedule):
             # Parity: serial skips graph work -> one color with every block
             # (blockmatrix.jl:91-92).

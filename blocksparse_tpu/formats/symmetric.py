@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import schedule as sched
+from ..core.device import stage_buckets
 from ..core.layout import BlockLayout, build_layout
 from ..core.operator import LinearOperator
 from ..ops.dispatch import apply_symmetric
@@ -86,14 +87,8 @@ class SymmetricBlockMatrix(LinearOperator):
             offdiagonals, rowindices, colindices, shape,
             granularity=granularity, dtype=dtype,
         )
-        self._dbuckets = tuple(
-            (jnp.asarray(b.values), jnp.asarray(b.row_idx), jnp.asarray(b.col_idx))
-            for b in self._dlayout.buckets
-        )
-        self._obuckets = tuple(
-            (jnp.asarray(b.values), jnp.asarray(b.row_idx), jnp.asarray(b.col_idx))
-            for b in self._olayout.buckets
-        )
+        self._dbuckets = stage_buckets(self._dlayout.buckets)
+        self._obuckets = stage_buckets(self._olayout.buckets)
 
         # Always color (parity: symmetricblockmatrix.jl:104-110).
         from .. import coloring

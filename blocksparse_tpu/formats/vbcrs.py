@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import schedule as sched
+from ..core.device import stage_buckets
 from ..core.layout import BlockLayout, build_layout, is_contiguous
 from ..core.operator import LinearOperator
 from ..ops.dispatch import apply_operand
@@ -126,10 +127,7 @@ class VariableBlockCompressedRowStorage(LinearOperator):
         self._layout = build_layout(
             blocks, rlists, clists, shape, granularity=granularity, dtype=dtype
         )
-        self._buckets = tuple(
-            (jnp.asarray(b.values), jnp.asarray(b.row_idx), jnp.asarray(b.col_idx))
-            for b in self._layout.buckets
-        )
+        self._buckets = stage_buckets(self._layout.buckets)
 
     # -- converters (parity: vbcrs.jl:150-199) ------------------------------
     @classmethod

@@ -15,6 +15,8 @@ import pytest
 
 pytestmark = pytest.mark.tpu
 
+jnp = pytest.importorskip("jax.numpy")
+
 # f32 on-chip tolerance: products are exact-f32 (precision=highest); the
 # oracle accumulates differently, so allow a few ulp * problem scale.
 TOL = 5e-4
