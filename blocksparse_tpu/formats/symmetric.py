@@ -254,7 +254,7 @@ class SymmetricBlockMatrix(LinearOperator):
         # Off-diagonal pair honors only conj; diagonal honors both flags
         # (see module docstring).
         from ..ops.dispatch import (
-            patch_eligible, patch_wins, strip_eligible, strip_wins)
+            patch_eligible, patch_wins, strip_eligible)
 
         if patch_eligible(self._backend, x, self.dtype):
             entry = self._patch_for(transpose)

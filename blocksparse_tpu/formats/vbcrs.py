@@ -291,7 +291,7 @@ class VariableBlockCompressedRowStorage(LinearOperator):
             return split._apply(x, transpose, conj)
         out_len = self.shape[1] if transpose else self.shape[0]
         from ..ops.dispatch import (
-            patch_eligible, patch_wins, strip_eligible, strip_wins)
+            patch_eligible, patch_wins, strip_eligible)
 
         if patch_eligible(self._backend, x, self.dtype):
             entry = self._patch_for()

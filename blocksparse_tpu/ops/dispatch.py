@@ -234,23 +234,21 @@ def patch_wins(plan, layouts_reads, r: int = 1) -> bool:
     if patch_mode() == "always":
         return True
 
-    def idx_tax(lay):
-        return sum(
-            5500 * b.nblocks * (b.mp // b.chunk + b.kp // b.chunk)
-            for b in lay.buckets
-            if b.chunk > 1 and not b.all_contiguous
-        )
-
     if r > 1:
-        from .patch_engine import R_SLICE as _PATCH_R
+        # two distinct slice widths meet here (ADVICE r3: keep them
+        # visibly distinct): the bucket engines re-stream values per
+        # 128-column RHS slice (this module's R_SLICE), the patch
+        # mono-kernel per 256 columns (patch_engine.R_SLICE)
+        from .patch_engine import R_SLICE as _PATCH_R_SLICE
 
-        slices = -(-r // R_SLICE)
+        _BUCKET_R_SLICE = R_SLICE
+        bucket_slices = -(-r // _BUCKET_R_SLICE)
         bucket = sum(
-            l.padded_nnz * 4 * rd * slices
-            + _STRIP_TAX * max(len(l.buckets), 1) * slices
+            l.padded_nnz * 4 * rd * bucket_slices
+            + _STRIP_TAX * max(len(l.buckets), 1) * bucket_slices
             for l, rd in layouts_reads
         )
-        return plan.value_bytes * -(-r // _PATCH_R) < 2 * bucket
+        return plan.value_bytes * -(-r // _PATCH_R_SLICE) < 2 * bucket
     # r == 1: the current mono-kernel is VPU-reduction-bound (~35-50% of
     # wire measured, benchmarks/proto_r3_k1b.py) and loses to the chunked
     # einsum engine (~75%) on every BASELINE population -- keep it opt-in

@@ -69,6 +69,21 @@ def _pad_to(x, rows):
     return jnp.pad(x, widths)
 
 
+def _x32_of(plan, x):
+    """x reshaped onto the column-chunk grid (gather side)."""
+    return _pad_to(x, (plan.NC + 1) * CC).reshape(plan.NC + 1, CC)
+
+
+def _x8_of(plan, x):
+    """x reshaped onto the row-chunk grid (row-window side).
+
+    Only valid on branches that read x through row windows (transpose or
+    symmetric products); a rectangular operand's x can exceed the row
+    buffer, so callers must build this lazily on those branches only
+    (ADVICE r3: a 16x1024 forward SpMV used to crash here)."""
+    return _pad_to(x, (plan.NR + 1) * CR).reshape(plan.NR + 1, CR)
+
+
 def _rows_r(plan: PatchPlan) -> int:
     """Row-side buffer length: covers every slot window rs + MP."""
     return (plan.NR + plan.MC_max) * CR
@@ -85,10 +100,11 @@ def _rows_c(plan: PatchPlan) -> int:
 
 def patch_spmv(plan: PatchPlan, dev, x, *, transpose: bool = False):
     """y = A @ x (A^T @ x when ``transpose``); x: [n] f32."""
-    NC, NR = plan.NC, plan.NR
     n_out = plan.nrows if (not transpose or plan.symmetric) else plan.ncols
-    x32 = _pad_to(x, (NC + 1) * CC).reshape(NC + 1, CC)
-    x8 = _pad_to(x, (NR + 1) * CR).reshape(NR + 1, CR)
+    # lazy per-branch reshapes: a rectangular operand's x fits only the
+    # buffer its branch actually gathers from (ADVICE r3 medium)
+    x32 = _x32_of(plan, x) if (not transpose or plan.symmetric) else None
+    x8 = _x8_of(plan, x) if (transpose or plan.symmetric) else None
     y = jnp.zeros((n_out,), jnp.float32)
 
     for (vals, gOH, sOH, flag, _cc, _rs, _mk) in dev:
@@ -234,21 +250,22 @@ def patch_spmv_kernel(plan: PatchPlan, dev, x, *, transpose: bool = False,
     each stored off-diagonal twice, symmetricblockmatrix.jl:394-418);
     their transpose is handled by the caller via a transposed-diagonal plan.
     """
-    NC, NR = plan.NC, plan.NR
     (vals, gOH, sOH, flag, _cc, _rs, _mk) = dev[0]
     nb, MP, KP = vals.shape
     b = plan.buckets[0]
-    x32 = _pad_to(x, (NC + 1) * CC).reshape(NC + 1, CC)
-    x8 = _pad_to(x, (NR + 1) * CR).reshape(NR + 1, CR)
     zg = jnp.zeros((nb, KP), jnp.float32)
     zr = jnp.zeros((nb, MP), jnp.float32)
 
     def gather_g():
-        return jnp.dot(gOH, x32, preferred_element_type=jnp.float32,
+        # lazy: only branches that gather chunk columns reshape onto the
+        # column grid (rectangular transpose x may not fit it; ADVICE r3)
+        return jnp.dot(gOH, _x32_of(plan, x),
+                       preferred_element_type=jnp.float32,
                        precision=HI).reshape(nb, KP)
 
     def gather_r():
-        return jnp.dot(sOH, x8, preferred_element_type=jnp.float32,
+        return jnp.dot(sOH, _x8_of(plan, x),
+                       preferred_element_type=jnp.float32,
                        precision=HI).reshape(nb, MP)
 
     def scat_f(yf):

@@ -204,7 +204,6 @@ def gmres(A, b, *, x0=None, tol=1e-6, atol=0.0, restart=20, maxiter=None,
     pb = pre(b)
     thresh = jnp.maximum(tol * jnp.linalg.norm(pb), atol).astype(rdt)
     eps = jnp.finfo(rdt).eps
-    total_cycles = -(-maxiter // m)
 
     def cycle(carry):
         it, x, _resnorm, done = carry

@@ -90,6 +90,42 @@ def test_spmv_oracle():
     assert np.abs(yt - reft).max() <= TOL * max(np.abs(reft).max(), 1)
 
 
+def test_spmv_rectangular():
+    """Rectangular operands: x fits only the buffer its branch gathers
+    from (ADVICE r3 medium: a 16x1024 forward SpMV used to crash on the
+    unconditional row-grid reshape)."""
+    rng = np.random.default_rng(7)
+    m, n = 16, 1024
+    dense = np.zeros((m, n), np.float32)
+    blocks, rows, cols = [], [], []
+    for cs in (0, 256, 640):
+        b = rng.standard_normal((m, 128)).astype(np.float32)
+        blocks.append(b)
+        rows.append(np.arange(m))
+        cols.append(np.arange(cs, cs + 128))
+        dense[:, cs:cs + 128] += b
+    layout = build_layout(blocks, rows, cols, (m, n), granularity="pow2",
+                          dtype=np.float32)
+    plan = build_patch_plan(layout)
+    assert plan is not None
+    dev = patch_device_arrays(plan)
+    x = rng.standard_normal(n).astype(np.float32)
+    y = np.asarray(patch_spmv(plan, dev, jnp.asarray(x)))
+    ref = dense @ x
+    assert np.abs(y - ref).max() <= TOL * max(np.abs(ref).max(), 1)
+    xt = rng.standard_normal(m).astype(np.float32)
+    yt = np.asarray(patch_spmv(plan, dev, jnp.asarray(xt), transpose=True))
+    reft = dense.T @ xt
+    assert np.abs(yt - reft).max() <= TOL * max(np.abs(reft).max(), 1)
+    # the kernel wrapper takes the same lazy-reshape path
+    from blocksparse_tpu.ops.patch_engine import patch_kernel_ok
+
+    if patch_kernel_ok(plan):
+        yk = np.asarray(patch_spmv_kernel(plan, dev, jnp.asarray(x),
+                                          interpret=True))
+        assert np.abs(yk - ref).max() <= TOL * max(np.abs(ref).max(), 1)
+
+
 def test_spmv_scattered_rejected():
     rng = np.random.default_rng(5)
     blocks = [rng.standard_normal((4, 4)).astype(np.float32)]

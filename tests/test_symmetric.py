@@ -115,6 +115,47 @@ def test_colors_always_computed():
     assert coloring.validate_coloring(union_lists, groups)
 
 
+@pytest.mark.parametrize("schedule", [bst.SERIAL, bst.COLORED])
+@pytest.mark.parametrize("backend", ["xla", "pallas-interpret"])
+def test_unsorted_index_lists(schedule, backend, rng):
+    """Unsorted index lists (reference trial lists, SURVEY §4): permuting a
+    block's rows/cols together with its index lists leaves the represented
+    matrix unchanged, so the sorted and unsorted builds must agree with the
+    same oracle -- for both schedules and the interpret kernel engines."""
+    dtype = np.complex128 if backend == "xla" else np.float32
+    d, di, o, ri, ci, shape = random_symmetric(
+        33, n=900, ngroups=24, noffdiag=40, dtype=dtype
+    )
+    # rebuild with matching permuted index lists
+    d2, di2 = [], []
+    o2, ri2, ci2 = [], [], []
+    prng = np.random.default_rng(5)
+    for b, g in zip(d, di):
+        p = prng.permutation(len(g))
+        d2.append(b[p][:, p])
+        di2.append(np.asarray(g)[p])
+    for b, r, c in zip(o, ri, ci):
+        pr = prng.permutation(len(r))
+        pc = prng.permutation(len(c))
+        o2.append(b[pr][:, pc])
+        ri2.append(np.asarray(r)[pr])
+        ci2.append(np.asarray(c)[pc])
+    assert any(not np.all(np.diff(r) > 0) for r in ri2)
+    tol = TOL if backend == "xla" else 2e-5
+    S_op = bst.SymmetricBlockMatrix(d2, di2, o2, ri2, ci2, shape,
+                                    schedule=schedule, backend=backend)
+    S_ref = bst.SymmetricBlockMatrix(d, di, o, ri, ci, shape)
+    S = bst.to_scipy(S_ref)
+    x = rng.standard_normal(shape[0])
+    if backend == "xla":
+        x = x + 1j * rng.standard_normal(shape[0])
+    else:
+        x = x.astype(np.float32)
+    assert relerr(S_op @ x, S @ x) < tol
+    assert relerr(S_op.T @ x, S.T @ x) < tol
+    assert relerr(S_op.H @ x, S.conj().T @ x) < tol
+
+
 def test_serial_vs_colored_duality(rng):
     a = build(2, np.complex128, bst.SERIAL)
     b = build(2, np.complex128, bst.COLORED)
