@@ -157,6 +157,7 @@ class PatchPlan:
 def build_patch_plan(layout: BlockLayout,
                      extra_layout: BlockLayout | None = None,
                      force_canvas: tuple[int, int] | None = None,
+                     force_G: int | None = None,
                      transpose_main: bool = False):
     """Build a PatchPlan from one layout (or a diag+offdiag pair).
 
@@ -305,7 +306,10 @@ def build_patch_plan(layout: BlockLayout,
     # padding is charged at full canvas cost.
     canvas_b = MP * KP * 4
     nb_real = len(slot_rows)
-    if canvas_b * 8 <= 4 * _STEP_BYTES:
+    if force_G is not None:
+        G = force_G
+        steps = -(-nb_real // G)
+    elif canvas_b * 8 <= 4 * _STEP_BYTES:
         # G multiples of 8 fit the VMEM budget: search step counts for the
         # cheapest padded-bytes + per-step tax
         g_cap = max(8, (4 * _STEP_BYTES // canvas_b) // 8 * 8)

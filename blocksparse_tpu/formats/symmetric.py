@@ -218,13 +218,11 @@ class SymmetricBlockMatrix(LinearOperator):
             self._panel_cache = cache
         key = "T" if transpose else "N"
         if key not in cache:
-            from ..core.panel import panel_plan_symmetric
-            from ..ops.pallas.panel_spmv import panel_device_arrays
+            from ..ops.panel_router import panel_arrays, panel_plan_sym
 
-            plan = panel_plan_symmetric(self._dlayout, self._olayout,
-                                        transpose_diag=transpose)
-            cache[key] = None if plan is None else (plan,
-                                                    panel_device_arrays(plan))
+            plan = panel_plan_sym(self._dlayout, self._olayout,
+                                  transpose_diag=transpose)
+            cache[key] = None if plan is None else (plan, panel_arrays(plan))
         return cache[key]
 
     def _patch_for(self, transpose: bool):
@@ -277,10 +275,10 @@ class SymmetricBlockMatrix(LinearOperator):
                 [(self._dlayout, 1), (self._olayout, 2)])
             interp = self._backend == "pallas-interpret"
             if choice == "panel":
-                from ..ops.pallas.panel_spmv import panel_apply
+                from ..ops.panel_router import panel_run
 
                 entry = self._panel_for(transpose)
-                return panel_apply(entry[0], entry[1], x, interpret=interp)
+                return panel_run(entry[0], entry[1], x, interpret=interp)
             if choice == "strip":
                 from ..ops.pallas.slab_spmv import slab_apply
 

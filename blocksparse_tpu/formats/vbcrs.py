@@ -265,12 +265,10 @@ class VariableBlockCompressedRowStorage(LinearOperator):
             self._panel_cache = cache
         key = "T" if transpose else "N"
         if key not in cache:
-            from ..core.panel import panel_plan_from_layout
-            from ..ops.pallas.panel_spmv import panel_device_arrays
+            from ..ops.panel_router import panel_arrays, panel_plan_general
 
-            plan = panel_plan_from_layout(self._layout, transpose=transpose)
-            cache[key] = None if plan is None else (plan,
-                                                    panel_device_arrays(plan))
+            plan = panel_plan_general(self._layout, transpose=transpose)
+            cache[key] = None if plan is None else (plan, panel_arrays(plan))
         return cache[key]
 
     def _patch_for(self):
@@ -311,10 +309,10 @@ class VariableBlockCompressedRowStorage(LinearOperator):
                 [(self._layout, 1)])
             interp = self._backend == "pallas-interpret"
             if choice == "panel":
-                from ..ops.pallas.panel_spmv import panel_apply
+                from ..ops.panel_router import panel_run
 
                 entry = self._panel_for(transpose)
-                return panel_apply(entry[0], entry[1], x, interpret=interp)
+                return panel_run(entry[0], entry[1], x, interpret=interp)
             if choice == "strip":
                 from ..ops.pallas.slab_spmv import slab_apply
 
