@@ -280,5 +280,137 @@ def main():
               f"({100*roofM/pus:.1f}%) err={err:.1e}", flush=True)
 
 
+
+
+# =====================================================================
+# Variant 2 (u64v): VPU sublane-reduce contraction, arbitrary pairing
+# (prefer same column), scratch rows + final one-hot dg0 scatters.
+# Per-slot: 2 dyn sublane slices + 2 half-[64,64] mul+sublane-reduce +
+# 2 static half-lane stores -> ~44 vops < 37-cyc stream budget/slot.
+# =====================================================================
+
+
+def build_pairs_v(blocks, n, G=8):
+    byc: dict = {}
+    for w, c, b in blocks:
+        byc.setdefault(c, []).append((w, b))
+    halves = []   # (c, w, block)
+    singles = []
+    for c in sorted(byc):
+        mem = byc[c]
+        for i in range(0, len(mem) - 1, 2):
+            halves.append(((c, mem[i]), (c, mem[i + 1])))
+        if len(mem) % 2:
+            singles.append((c, mem[-1]))
+    for i in range(0, len(singles) - 1, 2):
+        halves.append((singles[i], singles[i + 1]))
+    if len(singles) % 2:
+        halves.append((singles[-1], None))
+    W = n // BS
+    nb = -(-len(halves) // G) * G
+    vals = np.zeros((nb, BS, 2 * BS), np.float32)
+    cts = np.zeros((2, nb), np.int32)
+    woh = np.zeros((2, nb, W), np.float32)
+    for si, pair in enumerate(halves):
+        for h, ent in enumerate(pair if pair[1] is not None else pair[:1]):
+            c, (w, b) = ent
+            vals[si, :, h * BS:(h + 1) * BS] = b.T
+            cts[h, si] = c
+            woh[h, si, w] = 1.0
+    return vals, cts[0], cts[1], woh[0], woh[1], len(halves)
+
+
+def _kernV(c0_ref, c1_ref, v_ref, x_ref, w0_ref, w1_ref, y_ref, scr,
+           *, G, steps):
+    s = pl.program_id(0)
+    for g in range(G):
+        b = s * G + g
+        V = v_ref[g]
+        xk0 = x_ref[pl.ds(c0_ref[b] * BS, BS), :]       # [64, 1]
+        xk1 = x_ref[pl.ds(c1_ref[b] * BS, BS), :]
+        r0 = jnp.sum(V[:, :BS] * xk0, axis=0, keepdims=True)   # [1, 64]
+        r1 = jnp.sum(V[:, BS:] * xk1, axis=0, keepdims=True)
+        scr[pl.ds(b, 1), :BS] = r0
+        scr[pl.ds(b, 1), BS:] = r1
+
+    @pl.when(s == steps - 1)
+    def _():
+        y_ref[:] = (dg0(w0_ref[:], scr[:, :BS])
+                    + dg0(w1_ref[:], scr[:, BS:]))
+
+
+def u64v_spmv(vals, c0, c1, woh0, woh1, n, G, interpret=False):
+    nb = vals.shape[0]
+    steps = nb // G
+    W = n // BS
+    call = pl.pallas_call(
+        functools.partial(_kernV, G=G, steps=steps),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(steps,),
+            in_specs=[
+                pl.BlockSpec((G, BS, 2 * BS), lambda s, a, b: (s, 0, 0)),
+                pl.BlockSpec((n, 1), lambda s, a, b: (0, 0)),
+                pl.BlockSpec((nb, W), lambda s, a, b: (0, 0)),
+                pl.BlockSpec((nb, W), lambda s, a, b: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((W, BS), lambda s, a, b: (0, 0)),
+            scratch_shapes=[pltpu.VMEM((nb, 2 * BS), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((W, BS), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * vals.size, bytes_accessed=vals.size * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )
+
+    def apply(x):
+        return call(c0, c1, vals, x.reshape(n, 1), woh0, woh1).reshape(n)
+
+    return apply
+
+
+def main_v():
+    sys.path.insert(0, os.path.dirname(__file__) + "/..")
+    import bench
+
+    A = bench.build_config1()
+    n = A.shape[0]
+    nnz = A.nnz
+    blocks = extract_blocks(A._layout)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    Xp = jnp.asarray(rng.standard_normal((n, PIPE)).astype(np.float32))
+    ref1 = np.asarray(A @ x)
+    roof1 = (nnz * 4 + 2 * n * 4) / BW * 1e6
+    for G in (8, 16, 32):
+        vals, c0, c1, woh0, woh1, ns = build_pairs_v(blocks, n, G=G)
+        ap = u64v_spmv(jnp.asarray(vals), jnp.asarray(c0), jnp.asarray(c1),
+                       jnp.asarray(woh0), jnp.asarray(woh1), n, G)
+        y = np.asarray(ap(x))
+        err = np.abs(y - ref1).max() / np.abs(ref1).max()
+        st = chained_time_per_iter(lambda v: ap(v) * 1e-3, x,
+                                   iters_lo=10, iters_hi=60, repeats=5,
+                                   reduce="stats")
+        us = st["median"] * 1e6
+
+        def piped(Xc):
+            cols = [ap(Xc[:, i]) for i in range(PIPE)]
+            return jnp.stack(cols, axis=1) * 1e-3
+
+        sp = chained_time_per_iter(piped, Xp, iters_lo=5, iters_hi=30,
+                                   repeats=5, reduce="stats")
+        pus = sp["median"] * 1e6 / PIPE
+        print(f"[r=1 VPU] G={G:2d} nslots={ns} nb={vals.shape[0]} "
+              f"ratio={vals.size/nnz:.2f}: dep {us:.1f} us "
+              f"({100*roof1/us:.1f}%) | piped {pus:.1f} us "
+              f"({100*roof1/pus:.1f}%) err={err:.1e}", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--vpu" in sys.argv:
+        main_v()
+    else:
+        main()

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .pallas.fused_spmm import choose_config, chunked_block_apply
-from .xla_spmv import bucket_apply, chunked_bucket_apply
+from .xla_spmv import bucket_apply, chunked_bucket_apply, chunked_multi_apply
 
 # -- strip/slab routing (round 2) -------------------------------------------
 # Launch-overhead proxy: one XLA bucket launch costs roughly the time of
@@ -282,9 +282,43 @@ def _xla_engine(dev_buckets, host_buckets, out_len, x, *, transpose, conj,
     *depends* on the coloring invariant (the serial/colored duality test is
     the reference's 1-vs-5-thread CI analog and can now actually fail)."""
     y = None
+    # minimal-op composition over the chunked buckets (round 4): one
+    # shared gather, per-bucket einsums, ONE one-hot scatter dot -- the
+    # per-bucket loop serializes ~3 ops per bucket in a dependent chain
+    # (bench config1 dep 7.1 -> 6.1 us, benchmarks/proto_r4_dep3.py).
+    multi_pos: list[int] = []
+    if not symmetric:
+        dt = jnp.result_type(x.dtype, *[v.dtype for v, _, _ in dev_buckets]) \
+            if dev_buckets else x.dtype
+        if not jnp.issubdtype(dt, jnp.complexfloating):
+            by_chunk: dict[int, list[int]] = {}
+            for pos, hb in enumerate(host_buckets):
+                if hb.chunk > 1:
+                    by_chunk.setdefault(hb.chunk, []).append(pos)
+            if by_chunk:
+                cand = max(by_chunk.values(), key=len)
+                C_ = host_buckets[cand[0]].chunk
+                n_rows = sum(
+                    host_buckets[p].nblocks
+                    * ((host_buckets[p].kp if transpose
+                        else host_buckets[p].mp) // C_)
+                    for p in cand)
+                W_ = -(-out_len // C_)
+                if len(cand) >= 2 and W_ * n_rows * 2 <= 4 << 20:
+                    multi_pos = cand
+    if multi_pos:
+        part = chunked_multi_apply(
+            [host_buckets[p] for p in multi_pos],
+            [dev_buckets[p][0] for p in multi_pos],
+            out_len, x, transpose=transpose, conj=conj,
+            precision=precision,
+        )
+        y = part if y is None else y + part
     elem_dev, elem_host, elem_ids = [], [], []
     for pos, (hb, (vals, ridx, cidx)) in enumerate(
             zip(host_buckets, dev_buckets)):
+        if pos in multi_pos:
+            continue
         if hb.chunk > 1:
             rc = jnp.asarray(hb.row_chunk_idx)
             cc = jnp.asarray(hb.col_chunk_idx)

@@ -332,3 +332,80 @@ def chunked_bucket_apply(
     else:
         out = y2.reshape(-1, r)[:out_len]
     return out[:, 0] if vec else out
+
+
+def chunked_multi_apply(
+    host_buckets,
+    dev_vals,
+    out_len: int,
+    x,
+    *,
+    transpose: bool = False,
+    conj: bool = False,
+    acc_dtype=None,
+    precision=None,
+):
+    """Minimal-op chain over SEVERAL chunked buckets: ONE shared gather,
+    one einsum per bucket, ONE one-hot scatter dot.
+
+    The per-bucket loop (chunked_bucket_apply x3 on bench config1) costs
+    ~9 serialized ops = 7.1 us on a 4.0-us-roofline product; this
+    composition measures 6.1 us dep (benchmarks/proto_r4_dep3.py variant
+    B).  The one-hot scatter is exact: 0/1 one-hots against float values
+    at HIGHEST reproduce the addends bit-for-bit, and replaces the
+    per-bucket scatter-adds with a single MXU matmul.
+
+    Requirements (checked by the caller): every bucket chunked with the
+    SAME chunk, all-contiguous index lists, real (non-complex) values,
+    not symmetric.  Reference semantics parity: blockmatrix.jl:225-247
+    (same gather/contract/scatter math, reordered summation).
+    """
+    C = int(host_buckets[0].chunk)
+    vec = x.ndim == 1
+    xm = x[:, None] if vec else x
+    n_in, r = xm.shape
+    if acc_dtype is None:
+        acc_dtype = jnp.result_type(xm.dtype, *[v.dtype for v in dev_vals])
+
+    import numpy as np
+
+    if transpose:
+        g_of = lambda hb: np.asarray(hb.row_chunk_idx)
+        s_of = lambda hb: np.asarray(hb.col_chunk_idx)
+        spec_tr = True
+    else:
+        g_of = lambda hb: np.asarray(hb.col_chunk_idx)
+        s_of = lambda hb: np.asarray(hb.row_chunk_idx)
+        spec_tr = False
+
+    g_flat = [g_of(hb).reshape(-1) for hb in host_buckets]
+    goff = np.cumsum([0] + [g.size for g in g_flat])
+    gidx = jnp.asarray(np.concatenate(g_flat).astype(np.int32))
+    s_flat = np.concatenate([s_of(hb).reshape(-1) for hb in host_buckets])
+    g_max = int(np.concatenate(g_flat).max())
+    W = _round_up(out_len, C) // C
+    sOH = np.zeros((W, s_flat.size), np.float32)
+    keep = s_flat < W          # sentinel rows (if any) drop
+    sOH[s_flat[keep], np.nonzero(keep)[0]] = 1.0
+    sOH = jnp.asarray(sOH, jnp.bfloat16)
+
+    rows_in = max(_round_up(n_in, C), (g_max + 1) * C)
+    x2 = (jnp.pad(xm, ((0, rows_in - n_in), (0, 0)))
+          if rows_in > n_in else xm).reshape(rows_in // C, C, r)
+    xg_all = x2[gidx]                                   # [Gtot, C, r]
+
+    rows = []
+    for bi, (hb, v) in enumerate(zip(host_buckets, dev_vals)):
+        nb, mp, kp = v.shape
+        g_extent = mp if spec_tr else kp
+        s_extent = kp if spec_tr else mp
+        vv = jnp.conj(v) if conj else v
+        xg = xg_all[goff[bi]:goff[bi + 1]].reshape(nb, g_extent, r)
+        spec = "bmk,bmr->bkr" if spec_tr else "bmk,bkr->bmr"
+        yp = _block_contract(spec, vv, xg, r, spec_tr, acc_dtype, precision)
+        rows.append(yp.reshape(nb * (s_extent // C), C * r))
+    allrows = rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=0)
+    u = jnp.dot(sOH, allrows, preferred_element_type=acc_dtype,
+                precision=jax.lax.Precision.HIGHEST)
+    out = u.reshape(W * C, r)[:out_len]
+    return out[:, 0] if vec else out
