@@ -14,9 +14,12 @@ achieved fraction of roofline divided by the 0.80 north-star target
 Measurement methodology (round 2, variance-hardened):
 
 - **value** = steady-state THROUGHPUT fraction: PIPE independent products
-  are kept in flight per timing-chain step (distinct x vectors; each
-  product still streams the full operand from HBM -- measured aggregate
-  bandwidth stays below the HBM peak, ruling out any value-read sharing).
+  are kept in flight per timing-chain step.  Round 4 hardening: the PIPE
+  products use DISTINCT operands (same structure, value_seed-re-rolled
+  values) -- with a single shared operand XLA can merge the products'
+  value reads into one traversal (measured >100% of roofline after the
+  round-4 minimal-op engine landed), which would make the number a cache
+  artifact instead of a streaming rate.
   Rationale: at the 3.3 MB working set a single dependent product cannot
   reach peak HBM rate on this chip AT ALL -- a bare 3.3 MB sublane-reduce
   measures only ~65-72% of spec bandwidth (benchmarks/proto_stream_floor
@@ -60,8 +63,14 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def build_config1(n=4096, nblocks=200, bs=64, seed=7, dtype=np.float32, **kw):
-    """~200 uniform bs x bs blocks at block-aligned positions (config 1)."""
+def build_config1(n=4096, nblocks=200, bs=64, seed=7, dtype=np.float32,
+                  value_seed=None, **kw):
+    """~200 uniform bs x bs blocks at block-aligned positions (config 1).
+
+    ``value_seed`` re-rolls the block VALUES only (identical sparsity
+    structure): the piped throughput mode runs PIPE same-structure
+    operands with distinct values so XLA cannot merge their value reads
+    (see the methodology note in the module docstring)."""
     import blocksparse_tpu as bst
 
     rng = np.random.default_rng(seed)
@@ -69,7 +78,10 @@ def build_config1(n=4096, nblocks=200, bs=64, seed=7, dtype=np.float32, **kw):
     pos = rng.choice(ntiles * ntiles, size=nblocks, replace=False)
     rows = (pos // ntiles) * bs
     cols = (pos % ntiles) * bs
-    blocks = [rng.standard_normal((bs, bs)).astype(dtype) for _ in range(nblocks)]
+    vrng = np.random.default_rng(seed + 7777 if value_seed is None
+                                 else value_seed)
+    blocks = [vrng.standard_normal((bs, bs)).astype(dtype)
+              for _ in range(nblocks)]
     return bst.BlockSparseMatrix(
         blocks,
         [np.arange(r, r + bs) for r in rows],
@@ -79,7 +91,7 @@ def build_config1(n=4096, nblocks=200, bs=64, seed=7, dtype=np.float32, **kw):
     )
 
 
-def build_config2(n=4096, seed=8, **kw):
+def build_config2(n=4096, seed=8, value_seed=None, **kw):
     """Symmetric with half-stored off-diagonals (config 2)."""
     import blocksparse_tpu as bst
     from blocksparse_tpu.utils.testmatrices import random_symmetric
@@ -87,14 +99,20 @@ def build_config2(n=4096, seed=8, **kw):
     d, di, o, ri, ci, shape = random_symmetric(
         seed, n=n, ngroups=48, noffdiag=160, dtype=np.float32, contiguous=True
     )
+    if value_seed is not None:
+        vr = np.random.default_rng(value_seed)
+        d = [vr.standard_normal(b.shape).astype(b.dtype) for b in d]
+        o = [vr.standard_normal(b.shape).astype(b.dtype) for b in o]
     return bst.SymmetricBlockMatrix(d, di, o, ri, ci, shape, **kw)
 
 
-def build_config3(n=4096, seed=9, **kw):
+def build_config3(n=4096, seed=9, value_seed=None, **kw):
     """VBCRS with mixed 16-128 blocks (config 3)."""
     import blocksparse_tpu as bst
 
     rng = np.random.default_rng(seed)
+    vrng = np.random.default_rng(seed + 7777 if value_seed is None
+                                 else value_seed)
     # random contiguous partition with group sizes 16..128
     bounds = [0]
     while bounds[-1] < n:
@@ -105,7 +123,7 @@ def build_config3(n=4096, seed=9, **kw):
     for gi in range(ng):
         for gj in rng.choice(ng, size=min(6, ng), replace=False):
             blocks.append(
-                rng.standard_normal(
+                vrng.standard_normal(
                     (len(groups[gi]), len(groups[int(gj)]))
                 ).astype(np.float32)
             )
@@ -116,17 +134,20 @@ def build_config3(n=4096, seed=9, **kw):
     )
 
 
-def build_config_s(n=16384, nblocks=400, bs=128, seed=12, **kw):
+def build_config_s(n=16384, nblocks=400, bs=128, seed=12, value_seed=None,
+                   **kw):
     """Scattered-fixture SpMV (VERDICT #3): sorted, locally-clustered
     gather lists like the reference's BEM fixtures (e.g. [43,44,58,59] --
     SURVEY.md §4), at a bandwidth-meaningful scale (26 MB of values)."""
     import blocksparse_tpu as bst
 
     rng = np.random.default_rng(seed)
+    vrng = np.random.default_rng(seed + 7777 if value_seed is None
+                                 else value_seed)
     span = int(bs * 1.3)
     blocks, rows, cols = [], [], []
     for _ in range(nblocks):
-        blocks.append(rng.standard_normal((bs, bs)).astype(np.float32))
+        blocks.append(vrng.standard_normal((bs, bs)).astype(np.float32))
         rb = int(rng.integers(0, n - span))
         cb = int(rng.integers(0, n - span))
         rows.append(rb + np.sort(rng.choice(span, bs, replace=False)))
@@ -151,13 +172,21 @@ def engine_label(A, layouts_reads):
     return "buckets", None
 
 
-def bench_modes(A, x, iters=(10, 60)):
+def bench_modes(As, x, iters=(10, 60)):
     """(dep_stats, piped_stats): dependent-chain latency and pipelined
-    per-product throughput, each {min, median, max, n} seconds."""
+    per-product throughput, each {min, median, max, n} seconds.
+
+    ``As``: PIPE operands with identical structure but DISTINCT values
+    (value_seed re-rolls).  Round-4 methodology hardening: with one
+    shared operand XLA can merge the independent products' value reads
+    into one traversal (measured >100% of roofline on the minimal-op
+    engine), which turns the throughput number into a cache artifact.
+    Distinct value arrays make every product stream its own operand."""
     import jax.numpy as jnp
 
     from blocksparse_tpu.utils.timing import chained_time_per_iter
 
+    A = As[0]
     dep = chained_time_per_iter(
         lambda v: (A @ v) * 1e-3, x,
         iters_lo=iters[0], iters_hi=iters[1], repeats=7, reduce="stats",
@@ -167,7 +196,7 @@ def bench_modes(A, x, iters=(10, 60)):
     X = jnp.asarray(rng.standard_normal((n, PIPE)).astype(np.float32))
 
     def piped(Xc):
-        cols = [A @ Xc[:, i] for i in range(PIPE)]
+        cols = [As[i % len(As)] @ Xc[:, i] for i in range(PIPE)]
         return jnp.stack(cols, axis=1) * 1e-3
 
     pip = chained_time_per_iter(
@@ -202,10 +231,11 @@ def main():
 
     # -- config 1 (headline): general SpMV ---------------------------------
     A = build_config1()
+    As = [A] + [build_config1(value_seed=100 + i) for i in range(1, PIPE)]
     n = A.shape[0]
     nnz = A.nnz
     x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
-    dep, pip = bench_modes(A, x)
+    dep, pip = bench_modes(As, x)
     bytes_per = nnz * 4 + 2 * n * 4
     roof_t = bytes_per / bw
     # median over repeats: "min" can go degenerate on a noisy difference
@@ -227,7 +257,8 @@ def main():
                 "value": round(frac_pip, 4),
                 "unit": "fraction_of_hbm_roofline",
                 "vs_baseline": round(frac_pip / TARGET_FRACTION, 4),
-                "mode": f"throughput ({PIPE} independent products in flight;"
+                "mode": f"throughput ({PIPE} independent products on DISTINCT"
+                        " same-structure operands; round-4 honest mode --"
                         " see bench.py docstring)",
                 "latency_fraction": round(frac_dep, 4),
                 "spread_us": {
@@ -258,7 +289,8 @@ def main():
             rng.standard_normal((n, r4 * PIPE)).astype(np.float32))
 
         def piped4(Xc):
-            parts = [A @ Xc[:, i * r4:(i + 1) * r4] for i in range(PIPE)]
+            parts = [As[i % len(As)] @ Xc[:, i * r4:(i + 1) * r4]
+                     for i in range(PIPE)]
             return jnp.concatenate(parts, axis=1) * 1e-3
 
         ptm = chained_time_per_iter(
@@ -284,6 +316,20 @@ def main():
         log(f"# config4 precision=high: {dth['median']*1e6:.1f} us "
             f"{spread_us(dth)} = {100*roof4/dth['median']:.1f}%, "
             f"{2*nnz*r4/dth['median']/1e12:.2f} TFLOP/s (~1e-6 rel)")
+        # latency-opt plan (BST_OPT=latency: ~8 grid steps pipeline the
+        # value DMA behind the MXU within one dependent product)
+        os.environ["BST_OPT"] = "latency"
+        try:
+            Al = build_config1()
+            dtl = chained_time_per_iter(
+                lambda V: (Al @ V) * 1e-3, X, iters_lo=5, iters_hi=25,
+                repeats=7, reduce="stats",
+            )
+            log(f"# config4 BST_OPT=latency: dep {dtl['median']*1e6:.1f} us "
+                f"{spread_us(dtl)} = {100*roof4/dtl['median']:.1f}%, "
+                f"{2*nnz*r4/dtl['median']/1e12:.2f} TFLOP/s")
+        finally:
+            os.environ.pop("BST_OPT", None)
     except Exception as e:
         log(f"# config4 failed: {e}")
 
@@ -296,8 +342,10 @@ def main():
     # -- config 2: symmetric fused ------------------------------------------
     try:
         S = build_config2()
+        Ss = [S] + [build_config2(value_seed=200 + i)
+                    for i in range(1, PIPE)]
         xs = jnp.asarray(rng.standard_normal(S.shape[0]).astype(np.float32))
-        dts, pips = bench_modes(S, xs, iters=(5, 25))
+        dts, pips = bench_modes(Ss, xs, iters=(5, 25))
         s_logical = (S._dlayout.nnz + S._olayout.nnz) * 4 + 2 * S.shape[0] * 4
         roof2 = s_logical / bw
         eng2, st2 = engine_label(S, [(S._dlayout, 1), (S._olayout, 2)])
@@ -316,8 +364,10 @@ def main():
     # -- config 3: VBCRS mixed sizes ----------------------------------------
     try:
         V = build_config3()
+        Vs = [V] + [build_config3(value_seed=300 + i)
+                    for i in range(1, PIPE)]
         xv = jnp.asarray(rng.standard_normal(V.shape[1]).astype(np.float32))
-        dtv, pipv = bench_modes(V, xv, iters=(5, 25))
+        dtv, pipv = bench_modes(Vs, xv, iters=(5, 25))
         v_logical = V.layout.nnz * 4 + 2 * V.shape[1] * 4
         roof3 = v_logical / bw
         eng3, st3 = engine_label(V, [(V._layout, 1)])
@@ -335,11 +385,14 @@ def main():
 
     # -- config S: scattered clustered lists (VERDICT #3) -------------------
     try:
-        As = build_config_s()
-        xs2 = jnp.asarray(rng.standard_normal(As.shape[1]).astype(np.float32))
-        dsc, psc = bench_modes(As, xs2, iters=(5, 25))
-        s_bytes = As.nnz * 4 + 2 * As.shape[0] * 4
-        engS, stS = engine_label(As, [(As._layout, 1)])
+        Asc = build_config_s()
+        Ascs = [Asc] + [build_config_s(value_seed=400 + i)
+                        for i in range(1, PIPE)]
+        xs2 = jnp.asarray(
+            rng.standard_normal(Asc.shape[1]).astype(np.float32))
+        dsc, psc = bench_modes(Ascs, xs2, iters=(5, 25))
+        s_bytes = Asc.nnz * 4 + 2 * Asc.shape[0] * 4
+        engS, stS = engine_label(Asc, [(Asc._layout, 1)])
         ratS = f"{stS/s_bytes:.2f}" if stS else "n/a"
         log(
             f"# configS scattered spmv ({engS} engine, streamed/logical "

@@ -11,7 +11,7 @@ global panel-K space (bases 128-aligned), and the whole operand streams as
 [8, 128] tiles through the panel kernel (ops/pallas/panel_spmv.py).
 
 The input gather is the part that must not cost anything.  Measured on the
-v5e (benchmarks/proto_r3_gather.py): an XLA ELEMENT gather runs at ~5 ns
+v5e (benchmarks/archive/proto_r3_gather.py): an XLA ELEMENT gather runs at ~5 ns
 per element (256 us for a 36K-element table -- 10x the whole kernel), while
 a 32-wide ROW gather of the same data costs ~3 us.  The layout is therefore
 built around **32-lane segments**:
@@ -175,7 +175,7 @@ def _balanced_cuts(rid: np.ndarray, nt: int, RW: int, TS_max: int):
     best = None
     # measured-good slab sizes on the v5e: 256-768 tiles (1-3 MB);
     # smaller slabs pay per-step overhead, larger ones pipeline worse
-    # (benchmarks/proto_r3_rw.py, proto_r3_panel.py)
+    # (benchmarks/archive/proto_r3_rw.py, proto_r3_panel.py)
     for budget in range(256, min(TS_max, 768) + 1, 32):
         slabs = greedy(budget)
         TS = -(-max(b - a for a, b in slabs) // 8) * 8
@@ -397,11 +397,17 @@ def panel_plan_from_layout(layout: BlockLayout, *, transpose: bool = False,
         TS_max=TS_max)
 
 
-# Measured on the v5e (benchmarks/proto_r3_panel.py / proto_r3_mirror.py):
-# the plain panel kernel streams at 638-764 GB/s while the fused mirror
-# kernel is VPU-bound at 411-530 (each tile takes a second multiply+reduce
-# pass).  Per streamed byte the mirror kernel therefore costs ~1.35x.
-_MIRROR_RATE_PENALTY = 1.35
+# Measured on the v5e.  KERNEL-only, the fused mirror pass runs at ~0.49
+# of wire vs ~0.93 plain (benchmarks/proto_r4_mbisect.py: the mirror
+# side's sublane reductions are VPU-bound), i.e. a ~1.9x per-byte rate
+# penalty.  END-TO-END the expanded plan also pays gather + launch on
+# ~45% more streamed bytes, and the round-4 head-to-head on the BASELINE
+# symmetric population (benchmarks/proto_r4_decide.py m2) measured fused
+# 28.9/27.3 us (dep/piped) vs expanded 31.1/27.7 -- fused wins.  The
+# flip point for that population sits at a modeled penalty of ~1.45;
+# 1.4 keeps fused there while still letting expansion win when it
+# dilutes traffic less (small off-diagonal fractions).
+_MIRROR_RATE_PENALTY = 1.4
 
 
 def panel_plan_symmetric(dlayout: BlockLayout, olayout: BlockLayout, *,

@@ -376,9 +376,12 @@ def panel2_plan_from_layout(layout: BlockLayout, *, transpose: bool = False,
                       mirror=False, TS_max=TS_max)
 
 
-# Measured v2 rates: the plain kernel streams near wire; the mirror
-# kernel's extra per-tile pass costs ~1.45x per byte.
-_MIRROR_RATE_PENALTY2 = 1.45
+# Measured v2 rates (benchmarks/proto_r4_mbisect.py on config2's plan):
+# the paired mirror kernel runs at ~0.49 of wire vs ~0.93 plain (sublane
+# reductions).  As for v1, the END-TO-END flip point vs the expanded
+# plan sits near 1.45 (expansion pays overhead on its extra bytes --
+# benchmarks/proto_r4_decide.py m2), so the modeled penalty stays 1.4.
+_MIRROR_RATE_PENALTY2 = 1.4
 
 
 def panel2_plan_symmetric(dlayout: BlockLayout, olayout: BlockLayout, *,

@@ -15,7 +15,7 @@ are instead merged into **patch slots**:
   - bucket k-classes are multiples of 128/CC lanes so the value stream is
     **lane-dense** in HBM (minor dims that are not 128-multiples physically
     occupy padded tiles -- measured 2x for minor dim 64,
-    benchmarks/proto_r3_floor.py);
+    benchmarks/archive/proto_r3_floor.py);
   - slot counts are padded to the bucket's grid group size G with zero slots
     so the Pallas mono-kernel's grid tiles evenly.
 
@@ -218,7 +218,7 @@ def build_patch_plan(layout: BlockLayout,
     # exactly ONE bucket.  Rationale: per-product op/launch count is the
     # dominant cost for heterogeneous populations on TPU (37 near-singleton
     # buckets measured 16% of wire rate; 1 bucket of the same bytes 71% --
-    # benchmarks/proto_r3_patch.py), and row/chunk splits are free (a window
+    # benchmarks/archive/proto_r3_patch.py), and row/chunk splits are free (a window
     # piece scatters to its own rows; a chunk range gathers its own chunks).
     # (MP*, KC*) come from an exact cost search over the population.
 
@@ -256,7 +256,7 @@ def build_patch_plan(layout: BlockLayout,
             vbytes = canvases * MPc * KCc * CC * 4
             aux = canvases * (KCc * (NC + 1) + (MPc // CR) * (NR + 1)) * 2
             # per-slot overhead: small slots execute inefficiently (measured
-            # canvas sweep, benchmarks/proto_r3_canvas.py)
+            # canvas sweep, benchmarks/archive/proto_r3_canvas.py)
             cost = vbytes + aux + canvases * _SLOT_TAX
             if best is None or cost < best[0]:
                 best = (cost, MPc, KCc)
@@ -306,8 +306,21 @@ def build_patch_plan(layout: BlockLayout,
     # padding is charged at full canvas cost.
     canvas_b = MP * KP * 4
     nb_real = len(slot_rows)
+    # BST_OPT=latency biases the mono-kernel toward ~8 grid steps: more
+    # steps pipeline the value-stream DMA behind the MXU inside ONE
+    # dependent product (bench config4 dep 16.0 -> 12.0 us at G=16/8
+    # steps), at the cost of multi-product piped throughput (16.7 -> 18.0
+    # us/product -- benchmarks/proto_r4_decide.py m3).  Default stays
+    # throughput-optimal.
+    import os as _os
+
+    opt_latency = _os.environ.get("BST_OPT", "throughput") == "latency"
     if force_G is not None:
         G = force_G
+        steps = -(-nb_real // G)
+    elif opt_latency and canvas_b * 8 <= 4 * _STEP_BYTES:
+        g_cap = max(8, (4 * _STEP_BYTES // canvas_b) // 8 * 8)
+        G = min(g_cap, max(8, round_up(-(-nb_real // 8), 8)))
         steps = -(-nb_real // G)
     elif canvas_b * 8 <= 4 * _STEP_BYTES:
         # G multiples of 8 fit the VMEM budget: search step counts for the

@@ -16,7 +16,7 @@ Pallas kernel (ops/pallas/slab_spmv.py):
     flag [S, 1, TS]  mirror flag per tile (symmetric: off-diag 1, diag 0)
     b8 [S]           first output row chunk per slab (SMEM prefetch)
 
-Measured rationale (benchmarks/proto_ceiling.py on TPU v5e): an XLA row
+Measured rationale (benchmarks/archive/proto_ceiling.py on TPU v5e): an XLA row
 gather costs +8.5us on a 12 MB operand where a one-hot MXU matmul gather
 costs +1.8us, and XLA scatter-add costs +27us; expressing both as matmuls
 removes every per-tile operation from the hot path.

@@ -13,7 +13,7 @@ so the scatter-add of a color round can be re-expressed as its inverse -- a
 dense GATHER ``y += contrib[src_table]`` with a host-built int32 table --
 and gathers are an order of magnitude cheaper than random scatter-adds on
 this hardware (measured on the v5e: ~1.5 ns vs ~7-15 ns per index,
-benchmarks/proto_ceiling.py / gather_scatter_probe.py).
+benchmarks/archive/proto_ceiling.py / gather_scatter_probe.py).
 
 Under ``schedule="colored"`` the element-granularity engine therefore runs
 one gather per color instead of one scatter-add per bucket; under

@@ -125,7 +125,7 @@ def strip_wins(plan, layouts_reads) -> bool:
     def idx_tax(lay):
         # cover-scattered buckets pay XLA's measured ~7 ns/random-chunk-index
         # gather/scatter cost (= ~5.5 KB of streaming each,
-        # benchmarks/proto_cover.py); contiguous buckets' few post-merge
+        # benchmarks/archive/proto_cover.py); contiguous buckets' few post-merge
         # indices are already covered by the byte model
         return sum(
             5500 * b.nblocks * (b.mp // b.chunk + b.kp // b.chunk)
@@ -224,7 +224,7 @@ def patch_wins(plan, layouts_reads, r: int = 1) -> bool:
 
     r > 1: the patch SpMM kernel keeps x/y VMEM-resident with one MXU dot
     per slot; measured 75% of HBM roofline where the per-bucket fused
-    engine reached 30% on the same population (benchmarks/proto_r3_oh.py),
+    engine reached 30% on the same population (benchmarks/archive/proto_r3_oh.py),
     and the bucket engines re-stream values per 128-column RHS slice.
     Patch wins whenever its padded bytes do not exceed the bucket path's
     single-read bytes by more than the measured throughput advantage (2x).
@@ -250,7 +250,7 @@ def patch_wins(plan, layouts_reads, r: int = 1) -> bool:
         )
         return plan.value_bytes * -(-r // _PATCH_R_SLICE) < 2 * bucket
     # r == 1: the current mono-kernel is VPU-reduction-bound (~35-50% of
-    # wire measured, benchmarks/proto_r3_k1b.py) and loses to the chunked
+    # wire measured, benchmarks/archive/proto_r3_k1b.py) and loses to the chunked
     # einsum engine (~75%) on every BASELINE population -- keep it opt-in
     # (BST_PATCH=always) until a kernel variant actually wins.
     return False
@@ -287,7 +287,7 @@ def _xla_engine(dev_buckets, host_buckets, out_len, x, *, transpose, conj,
     # per-bucket loop serializes ~3 ops per bucket in a dependent chain
     # (bench config1 dep 7.1 -> 6.1 us, benchmarks/proto_r4_dep3.py).
     multi_pos: list[int] = []
-    if not symmetric:
+    if not symmetric and os.environ.get("BST_MULTI", "auto") != "never":
         dt = jnp.result_type(x.dtype, *[v.dtype for v, _, _ in dev_buckets]) \
             if dev_buckets else x.dtype
         if not jnp.issubdtype(dt, jnp.complexfloating):

@@ -8,7 +8,7 @@ of core/panel.py, which cuts padded/logical traffic from ~2.3-2.9x to
 
     xs    streamed [CW, 128] per slab: x row-gathered OUTSIDE the kernel at
           32-segment granularity (x32[segid] -- measured ~3 us where the
-          element gather costs ~250 us, benchmarks/proto_r3_gather.py)
+          element gather costs ~250 us, benchmarks/archive/proto_r3_gather.py)
     xg    = Cs @ xs               [TS,CW]@[CW,128]
     yf    = sum_k(V * xg)         VPU -> [TS, 8]
     y8   += Rs^T @ yf             into the VMEM row window

@@ -7,7 +7,7 @@ kernel is the TPU-native replacement: the whole operand streams from HBM
 exactly once as [TS, 8, 128] slabs (Mosaic double-buffers the DMA), and all
 gather/scatter is expressed as slab-level one-hot MXU matmuls -- measured
 ~5x cheaper than XLA row gathers and ~15x cheaper than XLA scatter-adds on
-this population (benchmarks/proto_ceiling.py):
+this population (benchmarks/archive/proto_ceiling.py):
 
     xg    = Cs @ x128         gather: [TS,NC]@[NC,128]
     yf    = sum_k(V * xg)     VPU multiply + lane reduce -> [TS, 8]

@@ -6,12 +6,12 @@ Three paths over the same storage:
   contraction -> one-hot chunk scatter, all XLA.  The one-hot matmuls are
   exact (0/1 bf16 against f32 at HIGHEST) and replace both the TPU-hostile
   row gather and the scatter-add (measured 578 GB/s on a config2-shaped
-  population vs 509 GB/s native chunk gathers, benchmarks/proto_r3_oh.py).
+  population vs 509 GB/s native chunk gathers, benchmarks/archive/proto_r3_oh.py).
 - ``patch_spmm``  (r > 1, TPU): single-launch-per-bucket Pallas mono-kernel;
   x and y stay VMEM-resident, per-slot column chunks are fetched with
   dynamic sublane slices driven by scalar-prefetched tables, one MXU dot per
   slot (measured 75% of HBM roofline / 24.7 TFLOP/s where the bucketed
-  einsum path reached 30%, benchmarks/proto_r3_oh.py).
+  einsum path reached 30%, benchmarks/archive/proto_r3_oh.py).
 - ``patch_spmm_xla``: reference-semantics fallback for r > 1 off-TPU.
 
 The transpose product swaps the gather/scatter roles over the same storage
@@ -135,7 +135,7 @@ def patch_spmv(plan: PatchPlan, dev, x, *, transpose: bool = False):
 # r == 1 Pallas mono-kernel: ONE read of the value stream serves both the
 # forward and (for symmetric plans) the mirrored contribution.  XLA cannot
 # be made to fuse the two passes over vals (measured: the fused XLA graph
-# re-streams them at ~1.35x, benchmarks/proto_r3_stage.py), so the kernel is
+# re-streams them at ~1.35x, benchmarks/archive/proto_r3_stage.py), so the kernel is
 # what realizes the one-read promise.  The kernel does ONLY the per-slot
 # contractions (VPU lane/sublane reductions over the streamed canvases) and
 # writes tiny per-slot vectors [nb, MP] / [nb, KP]; every gather/scatter
