@@ -224,7 +224,8 @@ class BlockSparseMatrix(LinearOperator):
                 # conj is a no-op for the real dtype this path admits
                 return patch_apply(entry[0], entry[1], x,
                                    transpose=transpose,
-                                   backend=self._backend)
+                                   backend=self._backend,
+                                   precision=self._precision)
         if strip_eligible(self._backend, x, self.dtype):
             from ..ops.dispatch import stream_plan_choice
 

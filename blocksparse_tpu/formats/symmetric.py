@@ -264,7 +264,8 @@ class SymmetricBlockMatrix(LinearOperator):
                 # the plan embeds the transposed diagonal; the engine treats
                 # symmetric plans as transpose-invariant
                 return patch_apply(entry[0], entry[1], x, transpose=False,
-                                   backend=self._backend)
+                                   backend=self._backend,
+                                   precision=self._precision)
         if strip_eligible(self._backend, x, self.dtype):
             from ..ops.dispatch import stream_plan_choice
 

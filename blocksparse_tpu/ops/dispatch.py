@@ -65,7 +65,7 @@ def auto_policy(kind: str, layout=None) -> str:
       2. env override  BST_AUTO_SPMV / BST_AUTO_SPMM = xla|pallas
          (set manually; process-wide);
       3. measured default for the v5e this repo was tuned on
-         (docs/performance.md: SpMV chunked-XLA 669 vs 452 GB/s;
+         (docs/performance.md: SpMV chunked-XLA 622 vs ~450 GB/s;
          SpMM fused-Pallas 29.4 vs 10.7 TFLOP/s at r=128).
 
     BST_LOG_DISPATCH=1 logs each (kind, policy, source) decision once.
@@ -405,6 +405,16 @@ def _bucket_eligible(host_bucket, n_in, n_out, r, interpret: bool, dtype) -> boo
     # dynamic-slice starts, which the chunked layout guarantees only for
     # chunk >= 16
     if np.dtype(dtype).name == "bfloat16" and host_bucket.chunk < 16:
+        return False
+    # the kernel scalar-prefetches both chunk tables into SMEM (1 MB on
+    # the v5e); a large population at fine chunk granularity overflows it
+    # at COMPILE time (observed: 2000 blocks at chunk=8 -> 3.2 MB table
+    # -> Mosaic "Allocation would exceed memory (space=smem)").  Guard
+    # with headroom and fall back to the XLA engine.
+    table_bytes = host_bucket.nblocks * 4 * (
+        host_bucket.mp // host_bucket.chunk
+        + host_bucket.kp // host_bucket.chunk)
+    if table_bytes > 400_000:
         return False
     # wide RHS runs as R_SLICE-column launches (single-tile grids keep the
     # output panel single-buffered); eligibility checks one slice

@@ -44,6 +44,34 @@ __all__ = ["patch_device_arrays", "patch_apply", "patch_spmv",
 HI = jax.lax.Precision.HIGHEST
 
 
+def _slot_dot(a, b, prec):
+    """Per-slot MXU dot at the operator's precision tier.
+
+    'highest' -> Mosaic HIGHEST (6 bf16 passes, ~1e-7);
+    'high'    -> explicit split-bf16 3-pass (Mosaic cannot lower HIGH;
+                 same decomposition as fused_spmm._dot3, ~1e-6);
+    None      -> single bf16 pass (~1e-3), the MXU-rate tier.
+    The one-hot gather/scatter dots stay HIGHEST everywhere: 0/1 one-hots
+    against f32 are exact there and they are not the FLOPs.
+    """
+    if prec == "highest":
+        return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                       precision=HI)
+    if prec == "high":
+        ah = a.astype(jnp.bfloat16)
+        al = (a - ah.astype(a.dtype)).astype(jnp.bfloat16)
+        bh = b.astype(jnp.bfloat16)
+        bl = (b - bh.astype(b.dtype)).astype(jnp.bfloat16)
+
+        def d(u, v):
+            return jnp.dot(u, v, preferred_element_type=jnp.float32,
+                           precision=None)
+
+        return d(ah, bh) + d(ah, bl) + d(al, bh)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=None)
+
+
 def patch_device_arrays(plan: PatchPlan):
     """Device leaves per bucket:
     (vals, gOH bf16, sOH bf16, flag f32, col_chunk, row_start, mirror_kc)."""
@@ -298,7 +326,8 @@ def patch_spmv_kernel(plan: PatchPlan, dev, x, *, transpose: bool = False,
 # ---------------------------------------------------------------------------
 
 
-def _kern_fwd(cc_ref, rs_ref, mk_ref, x_ref, v_ref, y_ref, *, G, KC_, MP):
+def _kern_fwd(cc_ref, rs_ref, mk_ref, x_ref, v_ref, y_ref, *, G, KC_, MP,
+              prec):
     s = pl.program_id(0)
 
     @pl.when(s == 0)
@@ -309,12 +338,12 @@ def _kern_fwd(cc_ref, rs_ref, mk_ref, x_ref, v_ref, y_ref, *, G, KC_, MP):
         b = s * G + g
         parts = [x_ref[pl.ds(cc_ref[b, j] * CC, CC), :] for j in range(KC_)]
         xg = jnp.concatenate(parts, axis=0)
-        yp = jnp.dot(v_ref[g], xg, preferred_element_type=jnp.float32,
-                     precision=HI)
+        yp = _slot_dot(v_ref[g], xg, prec)
         y_ref[pl.ds(rs_ref[b], MP), :] += yp
 
 
-def _kern_mir(cc_ref, rs_ref, mk_ref, x_ref, v_ref, y_ref, *, G, KC_, MP):
+def _kern_mir(cc_ref, rs_ref, mk_ref, x_ref, v_ref, y_ref, *, G, KC_, MP,
+              prec):
     """Symmetric fused: forward + mirrored chunks, square operand; x_ref
     and y_ref share the unified row extent."""
     s = pl.program_id(0)
@@ -328,11 +357,10 @@ def _kern_mir(cc_ref, rs_ref, mk_ref, x_ref, v_ref, y_ref, *, G, KC_, MP):
         V = v_ref[g]
         parts = [x_ref[pl.ds(cc_ref[b, j] * CC, CC), :] for j in range(KC_)]
         xg = jnp.concatenate(parts, axis=0)
-        yp = jnp.dot(V, xg, preferred_element_type=jnp.float32, precision=HI)
+        yp = _slot_dot(V, xg, prec)
         y_ref[pl.ds(rs_ref[b], MP), :] += yp
         xr = x_ref[pl.ds(rs_ref[b], MP), :]
-        yt = jnp.dot(V.T, xr, preferred_element_type=jnp.float32,
-                     precision=HI)
+        yt = _slot_dot(V.T, xr, prec)
         for j in range(KC_):
             @pl.when(j < mk_ref[b])
             def _(j=j):
@@ -340,7 +368,8 @@ def _kern_mir(cc_ref, rs_ref, mk_ref, x_ref, v_ref, y_ref, *, G, KC_, MP):
                     yt[j * CC:(j + 1) * CC, :])
 
 
-def _kern_tr(cc_ref, rs_ref, mk_ref, x_ref, v_ref, y_ref, *, G, KC_, MP):
+def _kern_tr(cc_ref, rs_ref, mk_ref, x_ref, v_ref, y_ref, *, G, KC_, MP,
+             prec):
     s = pl.program_id(0)
 
     @pl.when(s == 0)
@@ -350,8 +379,7 @@ def _kern_tr(cc_ref, rs_ref, mk_ref, x_ref, v_ref, y_ref, *, G, KC_, MP):
     for g in range(G):
         b = s * G + g
         xr = x_ref[pl.ds(rs_ref[b], MP), :]
-        yt = jnp.dot(v_ref[g].T, xr, preferred_element_type=jnp.float32,
-                     precision=HI)
+        yt = _slot_dot(v_ref[g].T, xr, prec)
         for j in range(KC_):
             y_ref[pl.ds(cc_ref[b, j] * CC, CC), :] += yt[j * CC:(j + 1) * CC, :]
 
@@ -360,12 +388,12 @@ _KERNELS = {"fwd": _kern_fwd, "mir": _kern_mir, "tr": _kern_tr}
 
 
 def _bucket_spmm_raw(meta, vals, cc, rs, mk, x2, interpret):
-    """meta = (mode, G, MP, KP, R, xrows, yrows)."""
-    mode, G, MP, KP, R, xrows, yrows = meta
+    """meta = (mode, G, MP, KP, R, xrows, yrows, prec)."""
+    mode, G, MP, KP, R, xrows, yrows, prec = meta
     nb = vals.shape[0]
     KC_ = KP // CC
     steps = nb // G
-    kern = functools.partial(_KERNELS[mode], G=G, KC_=KC_, MP=MP)
+    kern = functools.partial(_KERNELS[mode], G=G, KC_=KC_, MP=MP, prec=prec)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(steps,),
@@ -412,7 +440,7 @@ def _window_chunks(rs, MP):
 
 
 def _spmm_vjp_bwd(meta, interpret, res, g):
-    mode, G, MP, KP, R, xrows, yrows = meta
+    mode, G, MP, KP, R, xrows, yrows, _prec = meta
     vals, cc, rs, mk, x2 = res
     nb = vals.shape[0]
     KC_, MC_ = KP // CC, MP // CR
@@ -450,13 +478,16 @@ R_SLICE = 256  # RHS columns per mono-kernel launch (x+y panels stay in VMEM)
 
 
 def patch_spmm(plan: PatchPlan, dev, X, *, transpose: bool = False,
-               interpret: bool = False):
-    """Y = A @ X (A^T @ X when ``transpose``); X: [n, r] f32."""
+               interpret: bool = False, precision: str | None = "highest"):
+    """Y = A @ X (A^T @ X when ``transpose``); X: [n, r] f32.
+
+    ``precision`` selects the per-slot MXU dot tier (see _slot_dot);
+    the scatter/gather machinery stays exact at every tier."""
     R = X.shape[1]
     if R > R_SLICE:
         parts = [
             patch_spmm(plan, dev, X[:, lo:lo + R_SLICE], transpose=transpose,
-                       interpret=interpret)
+                       interpret=interpret, precision=precision)
             for lo in range(0, R, R_SLICE)
         ]
         return jnp.concatenate(parts, axis=1)
@@ -479,7 +510,7 @@ def patch_spmm(plan: PatchPlan, dev, X, *, transpose: bool = False,
     x2 = _pad_to(X, xrows)
     y = None
     for b, (vals, _g, _s, _f, cc, rs, mk) in zip(plan.buckets, dev):
-        meta = (mode, b.G, b.MP, b.KP, R, xrows, yrows)
+        meta = (mode, b.G, b.MP, b.KP, R, xrows, yrows, precision)
         part = _spmm_vjp(meta, interpret, vals, cc, rs, mk, x2)
         y = part if y is None else y + part
     n_out = plan.nrows if mode != "tr" else plan.ncols
@@ -520,8 +551,12 @@ def patch_spmm_xla(plan: PatchPlan, dev, X, *, transpose: bool = False):
 
 
 def patch_apply(plan: PatchPlan, dev, x, *, transpose: bool = False,
-                backend: str = "auto"):
-    """Entry point: route by rank/backend.  x: [n] or [n, r] f32."""
+                backend: str = "auto", precision: str | None = "highest"):
+    """Entry point: route by rank/backend.  x: [n] or [n, r] f32.
+
+    ``precision`` reaches the SpMM mono-kernel's per-slot dots; the r=1
+    paths are HBM-bound and always run their (exact) HIGHEST formulation.
+    """
     interpret = backend == "pallas-interpret"
     on_kernel_path = interpret or (backend != "xla"
                                    and jax.default_backend() == "tpu")
@@ -532,5 +567,5 @@ def patch_apply(plan: PatchPlan, dev, x, *, transpose: bool = False,
         return patch_spmv(plan, dev, x, transpose=transpose)
     if on_kernel_path:
         return patch_spmm(plan, dev, x, transpose=transpose,
-                          interpret=interpret)
+                          interpret=interpret, precision=precision)
     return patch_spmm_xla(plan, dev, x, transpose=transpose)
