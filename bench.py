@@ -320,7 +320,9 @@ def main():
         # value DMA behind the MXU within one dependent product)
         os.environ["BST_OPT"] = "latency"
         try:
-            Al = build_config1()
+            # distinct values: an identical-content operator would hit the
+            # jit cache and reuse the throughput plan traced above
+            Al = build_config1(value_seed=55)
             dtl = chained_time_per_iter(
                 lambda V: (Al @ V) * 1e-3, X, iters_lo=5, iters_hi=25,
                 repeats=7, reduce="stats",

@@ -48,6 +48,7 @@ from .formats.block_sparse import BlockSparseMatrix
 from .formats.symmetric import SymmetricBlockMatrix
 from .formats.vbcrs import VariableBlockCompressedRowStorage
 from .interop.scipy_io import (
+    as_linear_operator,
     from_dense,
     from_scipy_blocks,
     rowcolvals,
@@ -63,6 +64,7 @@ from .solvers import SolveInfo, bicgstab, cg, gmres
 __version__ = "0.1.0"
 
 __all__ = [
+    "as_linear_operator",
     # formats (export parity: src/BlockSparseMatrices.jl:26-28)
     "BlockSparseMatrix",
     "SymmetricBlockMatrix",

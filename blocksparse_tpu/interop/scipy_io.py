@@ -24,7 +24,8 @@ from ..formats.block_sparse import BlockSparseMatrix
 from ..formats.symmetric import SymmetricBlockMatrix
 from ..formats.vbcrs import VariableBlockCompressedRowStorage
 
-__all__ = ["rowcolvals", "to_scipy", "sparse", "from_scipy_blocks", "from_dense"]
+__all__ = ["rowcolvals", "to_scipy", "sparse", "from_scipy_blocks",
+           "from_dense", "as_linear_operator"]
 
 
 def _block_triplets(rows, cols, vals):
@@ -158,3 +159,35 @@ def from_scipy_blocks(S, block_size, *, dtype=None, **kwargs) -> BlockSparseMatr
             rows.append(np.arange(bi, min(bi + bm, m)))
             cols.append(np.arange(bj, min(bj + bn, n)))
     return BlockSparseMatrix(blocks, rows, cols, (m, n), **kwargs)
+
+
+def as_linear_operator(A):
+    """Wrap any blocksparse operator as a ``scipy.sparse.linalg
+    .LinearOperator`` (matvec/rmatvec/matmat via the device engines).
+
+    The reference gets this role for free by subtyping ``LinearMaps
+    .LinearMap`` (/root/reference/src/abstractblockmatrix.jl:1-20) so
+    every LinearMaps consumer -- host-side eigensolvers, Krylov
+    packages, operator algebra -- accepts its matrices; this is the
+    scipy-ecosystem analog.  Inputs arrive as numpy, run through the
+    jitted device path, and return as numpy.
+    """
+    from scipy.sparse.linalg import LinearOperator as _ScipyLO
+
+    import jax.numpy as jnp
+
+    dt = np.dtype(A.dtype)
+
+    def _dev(v):
+        return jnp.asarray(np.ascontiguousarray(v))
+
+    # np.array (not asarray): device arrays view as read-only numpy, and
+    # scipy's iterative solvers write into matvec results in place
+    return _ScipyLO(
+        shape=tuple(A.shape),
+        dtype=dt,
+        matvec=lambda v: np.array(A @ _dev(v.reshape(-1))),
+        rmatvec=lambda v: np.array(A.H @ _dev(v.reshape(-1))),
+        matmat=lambda V: np.array(A @ _dev(V)),
+        rmatmat=lambda V: np.array(A.H @ _dev(V)),
+    )
