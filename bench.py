@@ -238,6 +238,25 @@ def main():
     dep, pip = bench_modes(As, x)
     bytes_per = nnz * 4 + 2 * n * 4
     roof_t = bytes_per / bw
+    # legacy continuity number: the rounds-1-3 shared-operand piped mode
+    # (XLA may merge the products' value reads -> can exceed the
+    # single-stream roofline; reported only to show the engines did not
+    # regress when the methodology was hardened in round 4)
+    from blocksparse_tpu.utils.timing import chained_time_per_iter as _ctpi
+    import jax.numpy as _jnp
+    _rngl = np.random.default_rng(11)
+    _Xl = _jnp.asarray(_rngl.standard_normal((n, PIPE)).astype(np.float32))
+
+    def _piped_shared(Xc):
+        cols = [A @ Xc[:, i] for i in range(PIPE)]
+        return _jnp.stack(cols, axis=1) * 1e-3
+
+    _pl = _ctpi(_piped_shared, _Xl, iters_lo=5, iters_hi=30, repeats=5,
+                reduce="stats")
+    legacy_frac = roof_t / (_pl["median"] / PIPE)
+    log(f"# config1 legacy shared-operand piped (rounds 1-3 mode): "
+        f"{_pl['median']/PIPE*1e6:.1f} us/prod = {100*legacy_frac:.1f}% "
+        f"(read-merging inflates this; honest number is the headline)")
     # median over repeats: "min" can go degenerate on a noisy difference
     # quotient (observed: a 3.1 us estimate = an impossible 130% of
     # roofline), so the headline is the median and min/max ride as spread
@@ -261,6 +280,12 @@ def main():
                         " same-structure operands; round-4 honest mode --"
                         " see bench.py docstring)",
                 "latency_fraction": round(frac_dep, 4),
+                "legacy_shared_operand_fraction": round(legacy_frac, 4),
+                "methodology_note": "value uses round-4 honest piped mode"
+                " (distinct operands); rounds 1-3 used the shared-operand"
+                " mode whose number is inflated by XLA value-read merging"
+                " -- legacy_shared_operand_fraction is that mode, for"
+                " cross-round continuity",
                 "spread_us": {
                     "throughput_per_product": {
                         k: round(v * 1e6, 2) for k, v in pip.items()

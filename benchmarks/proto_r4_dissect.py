@@ -68,10 +68,11 @@ def dissect(name, A, layouts_reads):
                  x)
 
     xs = _gather_xs(x, jnp.asarray(plan.segid), plan.S, plan.CW, plan.NC32,
-                    plan.ncols)
+                    plan.ncols, plan.grids_used)
     gather = t_us(
         jax.jit(lambda v: _gather_xs(v, jnp.asarray(plan.segid), plan.S,
-                                     plan.CW, plan.NC32, plan.ncols).sum()
+                                     plan.CW, plan.NC32, plan.ncols,
+                                     plan.grids_used).sum()
                 * 1e-9 + v), x)
     print(f"  wire(streamed)={wire:.1f}us logical_roof={lroof:.1f}us | "
           f"panel_apply={full:.1f}us (={100*lroof/full:.1f}% logical, "

@@ -127,7 +127,7 @@ def time_plain(plan, dev, name, kern_name):
     S, TS, CW, RW, n8p = plan.S, plan.TS, plan.CW, plan.RW, plan.n8p
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.standard_normal(plan.ncols).astype(np.float32))
-    xs0 = _gather_xs(x, jnp.asarray(plan.segid), S, CW, plan.NC32, plan.ncols)
+    xs0 = _gather_xs(x, jnp.asarray(plan.segid), S, CW, plan.NC32, plan.ncols, plan.grids_used)
     kern = make_plain(CONTRACT[kern_name], RW, CW)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=(S,),
@@ -167,7 +167,7 @@ def time_mirror(plan, dev, name, kern_name):
     S, TS, CW, RW, n8p = plan.S, plan.TS, plan.CW, plan.RW, plan.n8p
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.standard_normal(plan.ncols).astype(np.float32))
-    xs0 = _gather_xs(x, jnp.asarray(plan.segid), S, CW, plan.NC32, plan.ncols)
+    xs0 = _gather_xs(x, jnp.asarray(plan.segid), S, CW, plan.NC32, plan.ncols, plan.grids_used)
     pad = n8p * RC - plan.nrows
     x8 = (jnp.pad(x, (0, pad)) if pad else x).reshape(n8p, RC)
     kern = make_mirror(MIRROR[kern_name], RW, CW)

@@ -54,6 +54,7 @@ __all__ = ["PanelPlan", "build_panel_plan", "panel_plan_from_layout",
            "panel_plan_symmetric", "SEG"]
 
 SEG = 32               # x-gather segment (lanes) = one row of x.reshape(-1,32)
+GRIDS = tuple(range(0, 32, 4))   # shifted seg grids (rows of roll(x, -g))
 NSEG = CC // SEG       # segments per lane chunk
 _ROW_COVER_CAP = 3.2   # scattered rows: max tile-cover dilution
 _MAX_CANVAS = 1 << 26  # per-panel canvas element cap (host memory guard)
@@ -81,6 +82,9 @@ class PanelPlan:
     b8: np.ndarray      # [S] int32 first row chunk per slab
     nt: int             # real (non-padding) tile count
     omap: np.ndarray | None  # [S*CW*NSEG, NC32] one-hot (device: bf16)
+    grids_used: tuple = GRIDS   # shift grids the segids reference; the
+                                # gather builds ONLY these (one roll op
+                                # each beyond grid 0)
     _digest: str = field(default="", compare=False)
 
     def __post_init__(self):
@@ -88,7 +92,8 @@ class PanelPlan:
             h = hashlib.sha256()
             h.update(np.int64([self.nrows, self.ncols, self.S, self.TS,
                                self.CW, self.RW, self.n8p, self.NC32,
-                               int(self.mirror)]).tobytes())
+                               int(self.mirror)]
+                              + list(self.grids_used)).tobytes())
             h.update(np.ascontiguousarray(self.vals).tobytes())
             h.update(np.ascontiguousarray(self.segid).tobytes())
             h.update(np.ascontiguousarray(self.b8).tobytes())
@@ -129,9 +134,6 @@ def _canonical_rows(rows: np.ndarray):
     if cover8 > _ROW_COVER_CAP * max(1, r.size):
         return None
     return r0, span, (r - r0)
-
-
-GRIDS = tuple(range(0, 32, 4))   # shifted seg grids (rows of roll(x, -g))
 
 
 def _seg_cover(cols: np.ndarray, NC32: int, *, allow_shift: bool = True):
@@ -186,7 +188,7 @@ def _balanced_cuts(rid: np.ndarray, nt: int, RW: int, TS_max: int):
 
 
 def build_panel_plan(entries, shape, *, mirror: bool = False,
-                     TS_max: int = 1024):
+                     TS_max: int = 1024, allow_shift: bool = True):
     """Build a PanelPlan from entries ``(block, rows, cols, is_mirror)``.
 
     ``block``  : 2-D float32 values [len(rows), len(cols)]
@@ -194,6 +196,11 @@ def build_panel_plan(entries, shape, *, mirror: bool = False,
     ``cols``   : input column index list (ANY list -- 32-seg-covered)
     ``is_mirror``: True for stored symmetric off-diagonals (the fused
                  kernel emits their transposed contribution too).
+    ``allow_shift``: permit the shifted segment grids.  Shifts shrink
+                 covers (~12 lanes/run) but each extra grid costs one
+                 roll op per product (~0.3 us floor); the caller builds
+                 both variants and picks by the measured tax
+                 (:func:`_best_shift_variant`).
 
     Returns None when ineligible (row dilution past the cap, or empty).
     """
@@ -243,7 +250,8 @@ def build_panel_plan(entries, shape, *, mirror: bool = False,
         W = 0
         for i in panels[key]:
             _, blk, cols, is_m = canon[i]
-            segs, lanepos = _seg_cover(cols, NC32, allow_shift=not is_m)
+            segs, lanepos = _seg_cover(
+                cols, NC32, allow_shift=allow_shift and not is_m)
             group.append((blk, lanepos + W, segs, is_m))
             W += segs.size * SEG
         if H * W > _MAX_CANVAS:
@@ -301,6 +309,15 @@ def build_panel_plan(entries, shape, *, mirror: bool = False,
         kcur = koff + W
     if not tiledict:
         return None
+    # compact the grid table to the grids actually referenced: the gather
+    # builds one roll per grid, so unused grids are pure op-floor waste
+    used = sorted({int(v) // NC32 for v in seg_rows if v < sent}) or [0]
+    remap = {g: i for i, g in enumerate(used)}
+    sent = len(used) * NC32
+    seg_rows = [sent if v >= len(GRIDS) * NC32
+                else remap[int(v) // NC32] * NC32 + int(v) % NC32
+                for v in seg_rows]
+    grids_used = tuple(GRIDS[g] for g in used)
     nseg_tot = len(seg_rows)
     cseg_flat = np.full(-(-nseg_tot // NSEG) * NSEG, sent, np.int64)
     cseg_flat[:nseg_tot] = seg_rows
@@ -341,7 +358,7 @@ def build_panel_plan(entries, shape, *, mirror: bool = False,
     vals = np.zeros((S * TS, RC, CC), np.float32)
     rid8 = np.full((S, 1, TS), RW, np.int32)
     cid8 = np.full((S, 1, TS), CW, np.int32)
-    segid = np.full((S, CW * NSEG), len(GRIDS) * NC32, np.int32)
+    segid = np.full((S, CW * NSEG), sent, np.int32)
     b8 = np.zeros((S,), np.int32)
     omap = np.zeros((S * CW * NSEG, NC32), np.float32) if mirror else None
     for si, (a, b) in enumerate(slabs):
@@ -362,7 +379,7 @@ def build_panel_plan(entries, shape, *, mirror: bool = False,
     return PanelPlan(
         nrows=nrows, ncols=ncols, S=S, TS=TS, CW=CW, RW=RW, n8p=n8p,
         NC32=NC32, mirror=bool(mirror), vals=vals, rid8=rid8, cid8=cid8,
-        segid=segid, b8=b8, nt=nt, omap=omap,
+        segid=segid, b8=b8, nt=nt, omap=omap, grids_used=grids_used,
     )
 
 
@@ -382,6 +399,32 @@ def _layout_entries(layout: BlockLayout, *, transpose: bool,
     return out
 
 
+_ROLL_TAX = 250_000   # stream-byte equivalent of one roll op (~0.3 us
+                      # XLA op floor at 819 GB/s)
+
+
+def _plan_cost(p) -> int:
+    return p.tile_bytes + p.aux_bytes + (len(p.grids_used) - 1) * _ROLL_TAX
+
+
+def _best_shift_variant(entries, shape, *, mirror, TS_max):
+    """Shifted grids shrink covers but cost one roll op per extra grid
+    per product; grid-0-only streams more bytes with a one-op gather.
+    Build both, charge the measured roll tax, keep the cheaper (measured
+    on config3: 8 grids' rolls ~2 us/product vs ~0.7 us of cover
+    savings -- grid-0 wins there; config1-class aligned populations were
+    already grid-0-only)."""
+    ps = build_panel_plan(entries, shape, mirror=mirror, TS_max=TS_max)
+    if ps is not None and len(ps.grids_used) == 1:
+        return ps
+    p0 = build_panel_plan(entries, shape, mirror=mirror, TS_max=TS_max,
+                          allow_shift=False)
+    cands = [p for p in (ps, p0) if p is not None]
+    if not cands:
+        return None
+    return min(cands, key=_plan_cost)
+
+
 def panel_plan_from_layout(layout: BlockLayout, *, transpose: bool = False,
                            TS_max: int = 1024):
     """General (non-symmetric) panel plan; None if ineligible."""
@@ -392,7 +435,7 @@ def panel_plan_from_layout(layout: BlockLayout, *, transpose: bool = False,
         return None
     shape = ((layout.ncols, layout.nrows) if transpose
              else (layout.nrows, layout.ncols))
-    return build_panel_plan(
+    return _best_shift_variant(
         _layout_entries(layout, transpose=transpose), shape, mirror=False,
         TS_max=TS_max)
 
@@ -439,14 +482,14 @@ def panel_plan_symmetric(dlayout: BlockLayout, olayout: BlockLayout, *,
     diag = _layout_entries(dlayout, transpose=transpose_diag)
     off = _layout_entries(olayout, transpose=False)
     off_t = _layout_entries(olayout, transpose=True)
-    fused = build_panel_plan(
+    fused = _best_shift_variant(
         diag + [(b, r, c, True) for b, r, c, _ in off], shape,
         mirror=True, TS_max=TS_max)
-    expanded = build_panel_plan(diag + off + off_t, shape, mirror=False,
-                                TS_max=TS_max)
+    expanded = _best_shift_variant(diag + off + off_t, shape, mirror=False,
+                                   TS_max=TS_max)
 
     def cost(p, factor):
-        return None if p is None else (p.tile_bytes + p.aux_bytes) * factor
+        return None if p is None else _plan_cost(p) * factor
 
     cf = cost(fused, _MIRROR_RATE_PENALTY)
     ce = cost(expanded, 1.0)

@@ -122,17 +122,17 @@ def _pkern_mirror(b8_ref, xs_ref, x8_ref, vals_ref, rid_ref, cid_ref,
                         precision=HI)               # [CW, 128] per slab
 
 
-def _gather_xs(x, segid, S, CW, NC32, ncols):
+def _gather_xs(x, segid, S, CW, NC32, ncols, grids_used):
     """Per-slab x panels via a 32-wide ROW gather (the fast gather).
 
-    Source rows come from the four shifted segment grids of
-    core/panel.GRIDS (three cheap rolls) plus a zero sentinel row."""
-    from ...core.panel import GRIDS
-
+    Source rows come from the plan's USED shifted segment grids (one
+    roll op each beyond grid 0 -- the plan compacts the table and the
+    shift-vs-grid0 choice is costed per population, core/panel.
+    _best_shift_variant) plus a zero sentinel row."""
     pad = NC32 * SEG - ncols
     xp = jnp.pad(x, (0, pad)) if pad else x
     grids = [jnp.roll(xp, -g).reshape(NC32, SEG) if g else
-             xp.reshape(NC32, SEG) for g in GRIDS]
+             xp.reshape(NC32, SEG) for g in grids_used]
     x32 = jnp.concatenate(grids + [jnp.zeros((1, SEG), jnp.float32)])
     # [S*CW*NSEG, 32] -> [S, CW, 128]: row-major view, no data movement
     return x32[segid.reshape(-1)].reshape(S, CW, CC)
@@ -140,11 +140,11 @@ def _gather_xs(x, segid, S, CW, NC32, ncols):
 
 @functools.partial(jax.jit, static_argnames=("meta", "interpret"))
 def _launch(dev, x, *, meta, interpret):
-    """meta = (S, TS, CW, RW, n8p, nrows, ncols, NC32, mirror)."""
-    S, TS, CW, RW, n8p, nrows, ncols, NC32, mirror = meta
+    """meta = (S, TS, CW, RW, n8p, nrows, ncols, NC32, mirror, grids)."""
+    S, TS, CW, RW, n8p, nrows, ncols, NC32, mirror, grids = meta
     vals, rid8, cid8, segid, b8, omap = dev
     xf = x.astype(jnp.float32)
-    xs = _gather_xs(xf, segid, S, CW, NC32, ncols)
+    xs = _gather_xs(xf, segid, S, CW, NC32, ncols, grids)
     params = dict(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
@@ -214,10 +214,10 @@ def _xla_forward(dev, x, meta):
     """Reference-semantics XLA evaluation of the panel plan (also drives the
     VJP: the operator is linear, so jax.vjp of this pure-XLA path yields
     exact cotangents for both x and the tile values)."""
-    S, TS, CW, RW, n8p, nrows, ncols, NC32, mirror = meta
+    S, TS, CW, RW, n8p, nrows, ncols, NC32, mirror, grids = meta
     vals, rid8, cid8, segid, b8, omap = dev
     xf = x.astype(jnp.float32)
-    xs = _gather_xs(xf, segid, S, CW, NC32, ncols)
+    xs = _gather_xs(xf, segid, S, CW, NC32, ncols, grids)
     V = vals.reshape(S, TS, RC, CC)
     R = (jnp.arange(RW, dtype=jnp.int32)[None, :, None]
          == rid8).astype(jnp.float32)              # [S, RW, TS]
@@ -276,5 +276,5 @@ _panel_vjp.defvjp(_panel_vjp_fwd, _panel_vjp_bwd)
 def panel_apply(plan: PanelPlan, dev, x, *, interpret: bool = False):
     """Apply the panel plan: y = A @ x.  Differentiable in x and values."""
     meta = (plan.S, plan.TS, plan.CW, plan.RW, plan.n8p, plan.nrows,
-            plan.ncols, plan.NC32, plan.mirror)
+            plan.ncols, plan.NC32, plan.mirror, tuple(plan.grids_used))
     return _panel_vjp(dev, x, meta, interpret)

@@ -253,3 +253,35 @@ def test_overlapping_blocks_sum():
     plan = panel_plan_from_layout(A._layout)
     assert plan is not None
     _plan_oracle(plan, A)
+
+
+def test_shift_variant_choice_and_compaction():
+    """The gather builds ONLY the grids the plan uses (compacted table),
+    and the shift-vs-grid0 variants agree numerically (round 4:
+    _best_shift_variant charges ~0.3 us/roll so op floors are not paid
+    for marginal cover savings)."""
+    from blocksparse_tpu.core.panel import (_best_shift_variant,
+                                            _layout_entries,
+                                            build_panel_plan)
+
+    rng = np.random.default_rng(21)
+    # arbitrary-offset contiguous blocks -> shifted grids are attractive
+    n = 1024
+    blocks = [rng.standard_normal((48, 60)).astype(np.float32)
+              for _ in range(10)]
+    rows = [np.arange(r, r + 48) for r in rng.integers(0, n - 48, 10)]
+    cols = [np.arange(c, c + 60) for c in rng.integers(0, n - 60, 10)]
+    A = bst.BlockSparseMatrix(blocks, rows, cols, (n, n))
+    ent = _layout_entries(A._layout, transpose=False)
+    ps = build_panel_plan(ent, (n, n))
+    p0 = build_panel_plan(ent, (n, n), allow_shift=False)
+    assert len(p0.grids_used) == 1 and p0.grids_used[0] == 0
+    # compaction: every grid in the table is actually referenced
+    NC32 = ps.NC32
+    sent = len(ps.grids_used) * NC32
+    ref_grids = {int(v) // NC32 for v in ps.segid.reshape(-1) if v < sent}
+    assert ref_grids == set(range(len(ps.grids_used)))
+    _plan_oracle(ps, A)
+    _plan_oracle(p0, A)
+    auto = _best_shift_variant(ent, (n, n), mirror=False, TS_max=1024)
+    _plan_oracle(auto, A)
