@@ -101,7 +101,11 @@ def build_config2(n=4096, seed=8, value_seed=None, **kw):
     )
     if value_seed is not None:
         vr = np.random.default_rng(value_seed)
-        d = [vr.standard_normal(b.shape).astype(b.dtype) for b in d]
+        # symmetrize rerolled diagonals so the fixture stays a semantically
+        # symmetric matrix (timing is value-independent; accuracy checks
+        # on these operands must not silently skew)
+        d = [((lambda b: (b + b.T) / 2)(vr.standard_normal(blk.shape))
+              ).astype(blk.dtype) for blk in d]
         o = [vr.standard_normal(b.shape).astype(b.dtype) for b in o]
     return bst.SymmetricBlockMatrix(d, di, o, ri, ci, shape, **kw)
 

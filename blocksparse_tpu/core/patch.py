@@ -316,7 +316,16 @@ def build_patch_plan(layout: BlockLayout,
 
     opt_latency = _os.environ.get("BST_OPT", "throughput") == "latency"
     if force_G is not None:
-        G = force_G
+        # validate at plan time rather than surfacing a Mosaic compile
+        # error: the r=1 mono-kernel needs a sublane-divisible G, and the
+        # step working set must fit the VMEM budget
+        G = max(8, round_up(int(force_G), 8))
+        if canvas_b * G > 4 * _STEP_BYTES:
+            raise ValueError(
+                f"force_G={force_G}: step working set {canvas_b * G} B "
+                f"exceeds the {4 * _STEP_BYTES} B VMEM budget for canvas "
+                f"{MP}x{KP}"
+            )
         steps = -(-nb_real // G)
     elif opt_latency and canvas_b * 8 <= 4 * _STEP_BYTES:
         g_cap = max(8, (4 * _STEP_BYTES // canvas_b) // 8 * 8)

@@ -288,24 +288,29 @@ def _xla_engine(dev_buckets, host_buckets, out_len, x, *, transpose, conj,
     # (bench config1 dep 7.1 -> 6.1 us, benchmarks/proto_r4_dep3.py).
     multi_pos: list[int] = []
     if not symmetric and os.environ.get("BST_MULTI", "auto") != "never":
-        dt = jnp.result_type(x.dtype, *[v.dtype for v, _, _ in dev_buckets]) \
-            if dev_buckets else x.dtype
-        if not jnp.issubdtype(dt, jnp.complexfloating):
-            by_chunk: dict[int, list[int]] = {}
-            for pos, hb in enumerate(host_buckets):
-                if hb.chunk > 1:
-                    by_chunk.setdefault(hb.chunk, []).append(pos)
-            if by_chunk:
-                cand = max(by_chunk.values(), key=len)
-                C_ = host_buckets[cand[0]].chunk
-                n_rows = sum(
-                    host_buckets[p].nblocks
-                    * ((host_buckets[p].kp if transpose
-                        else host_buckets[p].mp) // C_)
-                    for p in cand)
-                W_ = -(-out_len // C_)
-                if len(cand) >= 2 and W_ * n_rows * 2 <= 4 << 20:
-                    multi_pos = cand
+        by_chunk: dict[int, list[int]] = {}
+        for pos, hb in enumerate(host_buckets):
+            if hb.chunk > 1:
+                by_chunk.setdefault(hb.chunk, []).append(pos)
+        if by_chunk:
+            cand = max(by_chunk.values(), key=len)
+            # complex check over the CANDIDATE buckets only -- an unrelated
+            # complex elem-granularity bucket must not disable the
+            # minimal-op chain for the real chunked group
+            dt = jnp.result_type(
+                x.dtype, *[dev_buckets[p][0].dtype for p in cand]
+            )
+            C_ = host_buckets[cand[0]].chunk
+            n_rows = sum(
+                host_buckets[p].nblocks
+                * ((host_buckets[p].kp if transpose
+                    else host_buckets[p].mp) // C_)
+                for p in cand)
+            W_ = -(-out_len // C_)
+            if (len(cand) >= 2
+                    and not jnp.issubdtype(dt, jnp.complexfloating)
+                    and W_ * n_rows * 2 <= 4 << 20):
+                multi_pos = cand
     if multi_pos:
         part = chunked_multi_apply(
             [host_buckets[p] for p in multi_pos],

@@ -334,6 +334,82 @@ def chunked_bucket_apply(
     return out[:, 0] if vec else out
 
 
+from collections import OrderedDict
+
+# Host-side tables for chunked_multi_apply, cached per (bucket set,
+# transpose, out_len).  The scatter one-hot alone is up to W x n_rows f32
+# (~MBs) of host numpy per build; under jit it is trace-time only, but
+# eager paths (scipy-LinearOperator adapter, un-jitted A @ x) would
+# otherwise pay milliseconds per matvec.  Bounded LRU keyed by bucket
+# identity; each entry holds strong refs to its bucket tuple so the ids in
+# its key cannot be reused while the entry is alive.
+_MULTI_HOST_CACHE: "OrderedDict" = OrderedDict()
+_MULTI_HOST_CACHE_MAX = 32
+
+
+def _trace_clean() -> bool:
+    try:
+        return jax.core.trace_state_clean()
+    except AttributeError:  # pragma: no cover - older jax
+        return False
+
+
+def _multi_host_tables(host_buckets, out_len: int, transpose: bool):
+    """gidx/goff/sOH/g_max for the minimal-op chain (cached).
+
+    The cache holds HOST numpy tables; device copies are memoized only
+    when built outside a trace (a jnp constant created inside jit is a
+    trace-local tracer -- caching one leaks it into later traces)."""
+    import numpy as np
+
+    key = (
+        tuple(id(hb) for hb in host_buckets), bool(transpose), int(out_len)
+    )
+    hit = _MULTI_HOST_CACHE.get(key)
+    if hit is not None:
+        _MULTI_HOST_CACHE.move_to_end(key)
+        entry = hit[1]
+        if entry["dev"] is None and _trace_clean():
+            gidx_np, goff, sOH_np, g_max = entry["np"]
+            entry["dev"] = (jnp.asarray(gidx_np), goff,
+                            jnp.asarray(sOH_np, jnp.bfloat16), g_max)
+        if entry["dev"] is not None:
+            return entry["dev"]
+        gidx_np, goff, sOH_np, g_max = entry["np"]
+        return (jnp.asarray(gidx_np), goff,
+                jnp.asarray(sOH_np, jnp.bfloat16), g_max)
+    hb0 = host_buckets[0]
+
+    C = int(hb0.chunk)
+    if transpose:
+        g_flat = [np.asarray(hb.row_chunk_idx).reshape(-1) for hb in host_buckets]
+        s_flat = np.concatenate(
+            [np.asarray(hb.col_chunk_idx).reshape(-1) for hb in host_buckets]
+        )
+    else:
+        g_flat = [np.asarray(hb.col_chunk_idx).reshape(-1) for hb in host_buckets]
+        s_flat = np.concatenate(
+            [np.asarray(hb.row_chunk_idx).reshape(-1) for hb in host_buckets]
+        )
+    goff = np.cumsum([0] + [g.size for g in g_flat])
+    g_cat = np.concatenate(g_flat)
+    gidx_np = g_cat.astype(np.int32)
+    g_max = int(g_cat.max())
+    W = _round_up(out_len, C) // C
+    sOH_np = np.zeros((W, s_flat.size), np.float32)
+    keep = s_flat < W          # sentinel rows (if any) drop
+    sOH_np[s_flat[keep], np.nonzero(keep)[0]] = 1.0
+    entry = {"np": (gidx_np, goff, sOH_np, g_max), "dev": None}
+    if _trace_clean():
+        entry["dev"] = (jnp.asarray(gidx_np), goff,
+                        jnp.asarray(sOH_np, jnp.bfloat16), g_max)
+    _MULTI_HOST_CACHE[key] = (tuple(host_buckets), entry)
+    while len(_MULTI_HOST_CACHE) > _MULTI_HOST_CACHE_MAX:
+        _MULTI_HOST_CACHE.popitem(last=False)
+    return entry["dev"] if entry["dev"] is not None else (
+        jnp.asarray(gidx_np), goff, jnp.asarray(sOH_np, jnp.bfloat16), g_max)
+
+
 def chunked_multi_apply(
     host_buckets,
     dev_vals,
@@ -356,9 +432,11 @@ def chunked_multi_apply(
     per-bucket scatter-adds with a single MXU matmul.
 
     Requirements (checked by the caller): every bucket chunked with the
-    SAME chunk, all-contiguous index lists, real (non-complex) values,
-    not symmetric.  Reference semantics parity: blockmatrix.jl:225-247
-    (same gather/contract/scatter math, reordered summation).
+    SAME chunk, real (non-complex) values, not symmetric.  (The math is
+    contiguity-independent -- chunk tables are self-contained -- so
+    nothing here relies on contiguous index lists.)  Reference semantics
+    parity: blockmatrix.jl:225-247 (same gather/contract/scatter math,
+    reordered summation).
     """
     C = int(host_buckets[0].chunk)
     vec = x.ndim == 1
@@ -367,27 +445,11 @@ def chunked_multi_apply(
     if acc_dtype is None:
         acc_dtype = jnp.result_type(xm.dtype, *[v.dtype for v in dev_vals])
 
-    import numpy as np
-
-    if transpose:
-        g_of = lambda hb: np.asarray(hb.row_chunk_idx)
-        s_of = lambda hb: np.asarray(hb.col_chunk_idx)
-        spec_tr = True
-    else:
-        g_of = lambda hb: np.asarray(hb.col_chunk_idx)
-        s_of = lambda hb: np.asarray(hb.row_chunk_idx)
-        spec_tr = False
-
-    g_flat = [g_of(hb).reshape(-1) for hb in host_buckets]
-    goff = np.cumsum([0] + [g.size for g in g_flat])
-    gidx = jnp.asarray(np.concatenate(g_flat).astype(np.int32))
-    s_flat = np.concatenate([s_of(hb).reshape(-1) for hb in host_buckets])
-    g_max = int(np.concatenate(g_flat).max())
+    spec_tr = bool(transpose)
+    gidx, goff, sOH, g_max = _multi_host_tables(
+        tuple(host_buckets), out_len, spec_tr
+    )
     W = _round_up(out_len, C) // C
-    sOH = np.zeros((W, s_flat.size), np.float32)
-    keep = s_flat < W          # sentinel rows (if any) drop
-    sOH[s_flat[keep], np.nonzero(keep)[0]] = 1.0
-    sOH = jnp.asarray(sOH, jnp.bfloat16)
 
     rows_in = max(_round_up(n_in, C), (g_max + 1) * C)
     x2 = (jnp.pad(xm, ((0, rows_in - n_in), (0, 0)))
