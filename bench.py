@@ -345,22 +345,18 @@ def main():
         log(f"# config4 precision=high: {dth['median']*1e6:.1f} us "
             f"{spread_us(dth)} = {100*roof4/dth['median']:.1f}%, "
             f"{2*nnz*r4/dth['median']/1e12:.2f} TFLOP/s (~1e-6 rel)")
-        # latency-opt plan (BST_OPT=latency: ~8 grid steps pipeline the
-        # value DMA behind the MXU within one dependent product)
-        os.environ["BST_OPT"] = "latency"
-        try:
-            # distinct values: an identical-content operator would hit the
-            # jit cache and reuse the throughput plan traced above
-            Al = build_config1(value_seed=55)
-            dtl = chained_time_per_iter(
-                lambda V: (Al @ V) * 1e-3, X, iters_lo=5, iters_hi=25,
-                repeats=7, reduce="stats",
-            )
-            log(f"# config4 BST_OPT=latency: dep {dtl['median']*1e6:.1f} us "
-                f"{spread_us(dtl)} = {100*roof4/dtl['median']:.1f}%, "
-                f"{2*nnz*r4/dtl['median']/1e12:.2f} TFLOP/s")
-        finally:
-            os.environ.pop("BST_OPT", None)
+        # plan-bias knob as OPERATOR data (round 5): the default is the
+        # even-step auto plan (dep-optimal); optimize="throughput"
+        # restores the old piped-minimal step search for comparison
+        Al = build_config1(value_seed=55, optimize="throughput")
+        dtl = chained_time_per_iter(
+            lambda V: (Al @ V) * 1e-3, X, iters_lo=5, iters_hi=25,
+            repeats=7, reduce="stats",
+        )
+        log(f"# config4 optimize=throughput: dep {dtl['median']*1e6:.1f} us "
+            f"{spread_us(dtl)} = {100*roof4/dtl['median']:.1f}%, "
+            f"{2*nnz*r4/dtl['median']/1e12:.2f} TFLOP/s "
+            f"(default is the even-step auto plan)")
     except Exception as e:
         log(f"# config4 failed: {e}")
 

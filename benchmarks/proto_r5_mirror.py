@@ -43,9 +43,19 @@ HI = jax.lax.Precision.HIGHEST
 BW = 819e9
 
 
-def make_kern(variant, RW, CW):
-    B_full = np.kron(np.eye(RC, dtype=np.float32), np.ones((1, CC)))
+def _iota_B():
+    """kron(I8, ones(1,128)) built in-kernel (no captured constants)."""
+    return (jax.lax.broadcasted_iota(jnp.int32, (RC, RC * CC), 1) // CC
+            == jax.lax.broadcasted_iota(jnp.int32, (RC, RC * CC), 0)
+            ).astype(jnp.float32)
 
+
+def _iota_Bm(m):
+    return (jax.lax.broadcasted_iota(jnp.int32, (RC, CC), 0)
+            == m).astype(jnp.float32)
+
+
+def make_kern(variant, RW, CW):
     def kern(b8_ref, xs_ref, x8_ref, vals_ref, rid_ref, cid_ref,
              y8_ref, ym_ref):
         s = pl.program_id(0)
@@ -69,7 +79,7 @@ def make_kern(variant, RW, CW):
         if variant == "A":
             yt = jnp.sum(V * xr[:, :, None], axis=1)
         elif variant == "B":
-            xrb = jnp.dot(xr, jnp.asarray(B_full),
+            xrb = jnp.dot(xr, _iota_B(),
                           preferred_element_type=jnp.float32,
                           precision=HI)                 # [TS, 8*128]
             yt = V[:, 0, :] * xrb[:, 0:CC]
@@ -78,7 +88,7 @@ def make_kern(variant, RW, CW):
         elif variant == "C":
             yt = None
             for m in range(RC):
-                xrb_m = jnp.dot(xr, jnp.asarray(B_full[:, m * CC:(m + 1) * CC]),
+                xrb_m = jnp.dot(xr, _iota_Bm(m),
                                 preferred_element_type=jnp.float32,
                                 precision=HI)           # [TS, 128]
                 t = V[:, m, :] * xrb_m
@@ -109,7 +119,7 @@ def main():
     vals, rid8, cid8, segid, b8, omap = dev
     S, TS, CW, RW, n8p = plan.S, plan.TS, plan.CW, plan.RW, plan.n8p
     NC32 = plan.NC32
-    logical = S_op._dlayout.logical_nnz + 2 * S_op._olayout.logical_nnz
+    logical = S_op._dlayout.nnz + S_op._olayout.nnz
     wire = (plan.tile_bytes + plan.aux_bytes) / BW * 1e6
     log_us = logical * 4 / BW * 1e6
     print(f"plan: S={S} TS={TS} CW={CW} RW={RW} stream/logical="

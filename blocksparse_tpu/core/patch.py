@@ -158,7 +158,8 @@ def build_patch_plan(layout: BlockLayout,
                      extra_layout: BlockLayout | None = None,
                      force_canvas: tuple[int, int] | None = None,
                      force_G: int | None = None,
-                     transpose_main: bool = False):
+                     transpose_main: bool = False,
+                     optimize: str | None = None):
     """Build a PatchPlan from one layout (or a diag+offdiag pair).
 
     ``extra_layout``: when given, ``layout`` is the DIAGONAL operand and
@@ -173,6 +174,17 @@ def build_patch_plan(layout: BlockLayout,
     reference's role swap, symmetricblockmatrix.jl:341-365).  Plain
     operands do NOT need this -- their transpose swaps gather/scatter roles
     over the same plan inside the engine.
+
+    ``optimize``: "auto" | "latency" | "throughput" | None -- the
+    plan-shape bias carried as OPERATOR DATA (round 5; previously only
+    the process-global BST_OPT env var).  None falls back to the env var,
+    then "auto".  auto/latency pick an EVEN grid-step count around 2-8:
+    even counts pipeline the double-buffered value-stream DMA fully
+    behind the MXU inside one dependent product (measured config4 dep
+    16.1 -> 11.3 us at 2 steps; ODD step counts measure 15-17 us --
+    benchmarks/proto_r5_spmm.py, proto_r5_spmm2.py).  "throughput"
+    restores the padded-bytes step-count search (~0.5 us/product cheaper
+    piped on config4, much slower dependent chains).
     """
     dts = [b.values.dtype for b in layout.buckets]
     if extra_layout is not None:
@@ -306,15 +318,13 @@ def build_patch_plan(layout: BlockLayout,
     # padding is charged at full canvas cost.
     canvas_b = MP * KP * 4
     nb_real = len(slot_rows)
-    # BST_OPT=latency biases the mono-kernel toward ~8 grid steps: more
-    # steps pipeline the value-stream DMA behind the MXU inside ONE
-    # dependent product (bench config4 dep 16.0 -> 12.0 us at G=16/8
-    # steps), at the cost of multi-product piped throughput (16.7 -> 18.0
-    # us/product -- benchmarks/proto_r4_decide.py m3).  Default stays
-    # throughput-optimal.
+    # Plan bias resolution: operator data (optimize=) > BST_OPT env >
+    # "auto" (the even-step plan below, which dominates on the measured
+    # populations).  "throughput" restores the old step-count search.
     import os as _os
 
-    opt_latency = _os.environ.get("BST_OPT", "throughput") == "latency"
+    if optimize is None:
+        optimize = _os.environ.get("BST_OPT", "auto")
     if force_G is not None:
         # validate at plan time rather than surfacing a Mosaic compile
         # error: the r=1 mono-kernel needs a sublane-divisible G, and the
@@ -327,10 +337,28 @@ def build_patch_plan(layout: BlockLayout,
                 f"{MP}x{KP}"
             )
         steps = -(-nb_real // G)
-    elif opt_latency and canvas_b * 8 <= 4 * _STEP_BYTES:
+    elif optimize != "throughput" and canvas_b * 8 <= 4 * _STEP_BYTES and (
+            round_up(max(1, -(-nb_real // 8)), 8) * canvas_b
+            <= 4 * _STEP_BYTES):
+        # auto/latency default (round 5): EVEN step counts pipeline the
+        # double-buffered value DMA fully behind the MXU inside ONE
+        # product; odd counts measure 4-5 us slower on config4 (4 steps:
+        # dep 11.7 us vs 5 steps: 16.2; 2 steps: 11.3 = 80% of roofline
+        # -- benchmarks/proto_r5_spmm.py / proto_r5_spmm2.py).  This
+        # dominates the old 3-step throughput search (dep 16.1 -> 11.3 us
+        # for a ~0.5 us piped cost), so it is the DEFAULT; construct with
+        # optimize="throughput" to get the piped-minimal search back.
         g_cap = max(8, (4 * _STEP_BYTES // canvas_b) // 8 * 8)
-        G = min(g_cap, max(8, round_up(-(-nb_real // 8), 8)))
-        steps = -(-nb_real // G)
+        G = steps = None
+        for target in (2, 4, 6, 8):
+            g = round_up(max(1, -(-nb_real // target)), 8)
+            # zero-slot padding streams real bytes: cap it at ~25%
+            if g <= g_cap and target * g <= nb_real + max(8, nb_real // 4):
+                G, steps = g, target
+                break
+        if G is None:
+            G = min(g_cap, round_up(nb_real, 8))
+            steps = -(-nb_real // G)
     elif canvas_b * 8 <= 4 * _STEP_BYTES:
         # G multiples of 8 fit the VMEM budget: search step counts for the
         # cheapest padded-bytes + per-step tax

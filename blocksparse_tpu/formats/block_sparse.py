@@ -57,13 +57,14 @@ class BlockSparseMatrix(LinearOperator):
         backend: str = "auto",
         precision: str | None = "highest",
         scatter: str = "atomic",
+        optimize: str | None = None,
         dtype=None,
         _internal=None,
     ):
         if _internal is not None:
             (self._layout, self._schedule, self._backend, self._precision,
              self._scatter, self._granularity, self._colors, self._tcolors,
-             self._buckets) = _internal
+             self._optimize, self._buckets) = _internal
             return
         if shape is None:
             raise ValueError("shape=(nrows, ncols) is required")
@@ -71,6 +72,7 @@ class BlockSparseMatrix(LinearOperator):
         self._backend = backend
         self._precision = precision
         self._scatter = scatter
+        self._optimize = optimize
         self._granularity = granularity
         self._layout = build_layout(
             blocks, rowindices, colindices, shape,
@@ -93,7 +95,8 @@ class BlockSparseMatrix(LinearOperator):
     def tree_flatten(self):
         leaves = self._buckets
         aux = (self._layout, self._schedule, self._backend, self._precision,
-               self._scatter, self._granularity, self._colors, self._tcolors)
+               self._scatter, self._granularity, self._colors, self._tcolors,
+               self._optimize)
         return leaves, aux
 
     @classmethod
@@ -201,7 +204,7 @@ class BlockSparseMatrix(LinearOperator):
             from ..core.patch import build_patch_plan
             from ..ops.patch_engine import patch_device_arrays
 
-            plan = build_patch_plan(self._layout)
+            plan = build_patch_plan(self._layout, optimize=self._optimize)
             self._patch_cache = (
                 None if plan is None else (plan, patch_device_arrays(plan)))
         return self._patch_cache

@@ -62,14 +62,15 @@ class SymmetricBlockMatrix(LinearOperator):
         granularity="pow2",
         backend: str = "auto",
         precision: str | None = "highest",
+        optimize: str | None = None,
         dtype=None,
         _internal=None,
     ):
         if _internal is not None:
             (self._dlayout, self._olayout, self._schedule, self._backend,
              self._precision, self._granularity, self._dcolors, self._ocolors,
-             self._tocolors, self._fused_colors, self._dbuckets,
-             self._obuckets) = _internal
+             self._tocolors, self._fused_colors, self._optimize,
+             self._dbuckets, self._obuckets) = _internal
             return
         if shape is None:
             raise ValueError("shape=(nrows, ncols) is required")
@@ -78,6 +79,7 @@ class SymmetricBlockMatrix(LinearOperator):
         self._schedule = sched.normalize_schedule(schedule)
         self._backend = backend
         self._precision = precision
+        self._optimize = optimize
         self._granularity = granularity
         self._dlayout = build_layout(
             diagonals, diagonalindices, diagonalindices, shape,
@@ -116,7 +118,7 @@ class SymmetricBlockMatrix(LinearOperator):
         aux = (
             self._dlayout, self._olayout, self._schedule, self._backend,
             self._precision, self._granularity, self._dcolors, self._ocolors,
-            self._tocolors, self._fused_colors,
+            self._tocolors, self._fused_colors, self._optimize,
         )
         return leaves, aux
 
@@ -240,7 +242,8 @@ class SymmetricBlockMatrix(LinearOperator):
             from ..ops.patch_engine import patch_device_arrays
 
             plan = build_patch_plan(self._dlayout, extra_layout=self._olayout,
-                                    transpose_main=transpose)
+                                    transpose_main=transpose,
+                                    optimize=self._optimize)
             cache[key] = None if plan is None else (plan,
                                                     patch_device_arrays(plan))
         return cache[key]

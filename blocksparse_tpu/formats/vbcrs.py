@@ -69,6 +69,7 @@ class VariableBlockCompressedRowStorage(LinearOperator):
         backend: str = "auto",
         precision: str | None = "highest",
         scatter: str = "atomic",
+        optimize: str | None = None,
         dtype=None,
         check: bool = True,
         _internal=None,
@@ -76,7 +77,8 @@ class VariableBlockCompressedRowStorage(LinearOperator):
         if _internal is not None:
             (self._layout, self._schedule, self._backend, self._precision,
              self._scatter, self._granularity, self._rowptr, self._row_starts,
-             self._col_starts, self._blockrow_starts, self._buckets) = _internal
+             self._col_starts, self._blockrow_starts, self._optimize,
+             self._buckets) = _internal
             return
         if shape is None:
             raise ValueError("shape=(nrows, ncols) is required")
@@ -84,6 +86,7 @@ class VariableBlockCompressedRowStorage(LinearOperator):
         self._backend = backend
         self._precision = precision
         self._scatter = scatter
+        self._optimize = optimize
         self._granularity = granularity
 
         n = len(blocks)
@@ -173,7 +176,7 @@ class VariableBlockCompressedRowStorage(LinearOperator):
         aux = (
             self._layout, self._schedule, self._backend, self._precision,
             self._scatter, self._granularity, self._rowptr, self._row_starts,
-            self._col_starts, self._blockrow_starts,
+            self._col_starts, self._blockrow_starts, self._optimize,
         )
         return self._buckets, aux
 
@@ -278,7 +281,7 @@ class VariableBlockCompressedRowStorage(LinearOperator):
             from ..core.patch import build_patch_plan
             from ..ops.patch_engine import patch_device_arrays
 
-            plan = build_patch_plan(self._layout)
+            plan = build_patch_plan(self._layout, optimize=self._optimize)
             self._patch_cache = (
                 None if plan is None else (plan, patch_device_arrays(plan)))
         return self._patch_cache

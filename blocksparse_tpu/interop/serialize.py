@@ -54,6 +54,10 @@ def save(path, op) -> None:
         precision=np.str_(op._precision if op._precision is not None else "none"),
         granularity=np.str_(repr(op._granularity)),
         scatter=np.str_(getattr(op, "_scatter", "atomic")),
+        # latency/throughput plan bias is operator data (round 5; was the
+        # process-global BST_OPT env var) and round-trips like the rest
+        optimize=np.str_(op._optimize if op._optimize is not None
+                         else "none"),
     )
     # Measured autotune winners (utils/autotune.autotune_backend) travel
     # with the operator so a deployment does not re-tune every process
@@ -103,6 +107,9 @@ def load(path, **overrides):
             kwargs["granularity"] = "pow2" if gran == "'pow2'" else ast.literal_eval(gran)
             if kind != "SymmetricBlockMatrix":
                 kwargs["scatter"] = str(data["scatter"])
+            if "optimize" in data:  # absent in round-4 and older files
+                opt = str(data["optimize"])
+                kwargs["optimize"] = None if opt == "none" else opt
         kwargs.update(overrides)
         autotune = (
             json.loads(str(data["autotune"])) if "autotune" in data else None

@@ -28,7 +28,7 @@ import copy
 
 import numpy as np
 
-__all__ = ["autotune_backend"]
+__all__ = ["autotune_backend", "autotune_optimize"]
 
 
 def _with_backend(A, backend: str):
@@ -132,6 +132,79 @@ def autotune_backend(A, r: int = 1, *, repeats: int = 5,
         reports = {}
         A._autotune_reports = reports
     reports[kind] = report
+    return report
+
+
+def autotune_optimize(A, r: int = 128, *, repeats: int = 5,
+                      apply: bool = True) -> dict:
+    """Measure the dependent-chain SpMM under the latency- vs
+    throughput-biased patch plans and set ``A._optimize`` to the winner.
+
+    The plan bias is OPERATOR data (carried like schedule/backend/
+    precision, serialized by interop/serialize): ``optimize="latency"``
+    biases the patch mono-kernel toward an even ~4-8 grid steps, which
+    pipelines the value-stream DMA behind the MXU inside one dependent
+    product (measured config4 dep 16.1 -> 11.6 us at 4 steps,
+    benchmarks/proto_r5_spmm.py) at a ~1 us/product piped cost.  Krylov
+    solves -- the library's core use case -- are dependent chains, so call
+    this once at deployment when products chain.
+
+    Returns {"kind", "latency_us", "throughput_us", "winner", "applied"}
+    (also stored on ``A._autotune_reports``).
+    """
+    import copy
+
+    import jax
+    import jax.numpy as jnp
+
+    from .timing import chained_time_per_iter
+
+    if A.shape[0] != A.shape[1]:
+        raise ValueError(
+            "autotune_optimize probes with a chained timer: requires a "
+            f"square operator, got {A.shape}"
+        )
+    if jax.default_backend() != "tpu":
+        raise RuntimeError(
+            "autotune_optimize measures the TPU patch plans; current "
+            f"backend is {jax.default_backend()!r}"
+        )
+    rng = np.random.default_rng(0)
+    n = A.shape[1]
+    x = jnp.asarray(
+        rng.standard_normal((n,) if r == 1 else (n, r)).astype(np.float32)
+    )
+    results = {}
+    for opt in ("latency", "throughput"):
+        B = copy.copy(A)
+        B._optimize = opt
+        for cache in ("_patch_cache",):
+            if hasattr(B, cache):
+                delattr(B, cache)
+        st = chained_time_per_iter(
+            lambda v: (B @ v) * 1e-3, x, iters_lo=5, iters_hi=25,
+            repeats=repeats, reduce="stats",
+        )
+        results[opt] = st["median"]
+    winner = min(results, key=results.get)
+    applied = False
+    if apply:
+        A._optimize = winner
+        if hasattr(A, "_patch_cache"):
+            delattr(A, "_patch_cache")
+        applied = True
+    report = {
+        "kind": "optimize",
+        "latency_us": results["latency"] * 1e6,
+        "throughput_us": results["throughput"] * 1e6,
+        "winner": winner,
+        "applied": applied,
+    }
+    reports = getattr(A, "_autotune_reports", None)
+    if reports is None:
+        reports = {}
+        A._autotune_reports = reports
+    reports["optimize"] = report
     return report
 
 
