@@ -55,6 +55,31 @@ def _iota_Bm(m):
             == m).astype(jnp.float32)
 
 
+def _split3(a):
+    """Exact 3-plane bf16 decomposition of f32 (hi+mid+lo == a)."""
+    hi = a.astype(jnp.bfloat16)
+    r1 = a - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _dot3oh(oh, a, contract0=False):
+    """One-hot (exact in bf16) x f32 via 3 single-pass bf16 dots --
+    exact like HIGHEST at half the MXU passes."""
+    ohb = oh.astype(jnp.bfloat16)
+    out = None
+    for plane in _split3(a):
+        if contract0:
+            p = jax.lax.dot_general(
+                ohb, plane, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            p = jnp.dot(ohb, plane, preferred_element_type=jnp.float32)
+        out = p if out is None else out + p
+    return out
+
+
 def make_kern(variant, RW, CW):
     def kern(b8_ref, xs_ref, x8_ref, vals_ref, rid_ref, cid_ref,
              y8_ref, ym_ref):
@@ -67,6 +92,16 @@ def make_kern(variant, RW, CW):
         V = vals_ref[:]
         R, CT = _onehots(rid_ref, cid_ref, RW, CW)
         base = b8_ref[s]
+        if variant == "F":
+            # all four one-hot dots as exact 3-pass splits
+            xg = _dot3oh(CT, xs_ref[0], contract0=True)
+            yf = jnp.sum(V * xg[:, None, :], axis=2)
+            y8_ref[pl.ds(base, RW), :] += _dot3oh(R, yf)
+            xw = x8_ref[pl.ds(base, RW), :]
+            xr = _dot3oh(R, xw, contract0=True)
+            yt = jnp.sum(V * xr[:, :, None], axis=1)
+            ym_ref[0] = _dot3oh(CT, yt)
+            return
         xg = _dg0(CT, xs_ref[0])
         yf = jnp.sum(V * xg[:, None, :], axis=2)
         y8_ref[pl.ds(base, RW), :] += jnp.dot(
@@ -134,7 +169,7 @@ def main():
     x8 = xf.reshape(n8p, RC)
 
     ref = None
-    for variant in ("A", "B", "C", "D", "E"):
+    for variant in ("A", "F"):
         kern = make_kern(variant, RW, CW)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(S,),

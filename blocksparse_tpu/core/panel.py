@@ -140,12 +140,14 @@ def _seg_cover(cols: np.ndarray, NC32: int, *, allow_shift: bool = True):
     """(segids [ns], lanepos [len(cols)]) -- the 32-segment cover of an
     index list and each column's lane position inside the cover.
 
-    Four shifted segment grids are available (GRIDS); the one with the
+    Eight shifted segment grids are available (GRIDS); the one with the
     smallest cover wins -- on contiguous runs this cuts the head+tail waste
     from ~31 to ~19 lanes.  Grid g's segment a is row a of
     ``roll(x, -g).reshape(-1, 32)`` and gets ids offset by ``gi * NC32``.
-    ``allow_shift=False`` (mirror slots) pins grid 0, because the mirror
-    map-back one-hot lands on unshifted rows of y.reshape(-1, 32)."""
+    ``allow_shift=False`` builds the grid-0-only variant (one-op gather,
+    more cover waste); since round 5 mirror entries may shift too -- the
+    map-back emits a per-grid plane un-shifted by a pad-left in the
+    launch wrapper."""
     c = np.asarray(cols, np.int64)
     best = None
     for gi, g in enumerate(GRIDS):
@@ -250,8 +252,11 @@ def build_panel_plan(entries, shape, *, mirror: bool = False,
         W = 0
         for i in panels[key]:
             _, blk, cols, is_m = canon[i]
-            segs, lanepos = _seg_cover(
-                cols, NC32, allow_shift=allow_shift and not is_m)
+            # round 5: mirror entries may use shifted grids too -- the
+            # map-back emits one output plane per grid, un-shifted by a
+            # pad-left (see ops/pallas/panel_spmv._launch); the cost
+            # model charges the extra per-grid ops (_plan_cost)
+            segs, lanepos = _seg_cover(cols, NC32, allow_shift=allow_shift)
             group.append((blk, lanepos + W, segs, is_m))
             W += segs.size * SEG
         if H * W > _MAX_CANVAS:
@@ -360,7 +365,10 @@ def build_panel_plan(entries, shape, *, mirror: bool = False,
     cid8 = np.full((S, 1, TS), CW, np.int32)
     segid = np.full((S, CW * NSEG), sent, np.int32)
     b8 = np.zeros((S,), np.int32)
-    omap = np.zeros((S * CW * NSEG, NC32), np.float32) if mirror else None
+    # mirror map-back over ALL used grids: column gi*NC32 + a maps a
+    # grid-gi panel segment to rows of roll-adjusted y (one output plane
+    # per grid, un-shifted in the launch wrapper)
+    omap = np.zeros((S * CW * NSEG, sent), np.float32) if mirror else None
     for si, (a, b) in enumerate(slabs):
         cnt = b - a
         base = min(int(rid[a]), n8p - RW)
@@ -373,7 +381,7 @@ def build_panel_plan(entries, shape, *, mirror: bool = False,
         if mirror:
             rows_ = si * CW * NSEG + np.arange(uniq.size * NSEG)
             tgt = cseg[uniq].reshape(-1)
-            live = cmir[uniq].reshape(-1) & (tgt < NC32)
+            live = cmir[uniq].reshape(-1) & (tgt < sent)
             omap[rows_[live], tgt[live]] = 1.0
 
     return PanelPlan(
@@ -404,7 +412,10 @@ _ROLL_TAX = 250_000   # stream-byte equivalent of one roll op (~0.3 us
 
 
 def _plan_cost(p) -> int:
-    return p.tile_bytes + p.aux_bytes + (len(p.grids_used) - 1) * _ROLL_TAX
+    # each extra grid costs one roll op on the gather side, plus (mirror
+    # plans) a pad+add pair to un-shift that grid's map-back plane
+    per_grid = _ROLL_TAX * (3 if p.mirror else 1)
+    return p.tile_bytes + p.aux_bytes + (len(p.grids_used) - 1) * per_grid
 
 
 def _best_shift_variant(entries, shape, *, mirror, TS_max):
@@ -441,11 +452,11 @@ def panel_plan_from_layout(layout: BlockLayout, *, transpose: bool = False,
 
 
 # Measured on the v5e.  KERNEL-only, the fused mirror pass runs at ~0.49
-# of wire vs ~0.93 plain (benchmarks/proto_r4_mbisect.py: the mirror
+# of wire vs ~0.93 plain (benchmarks/archive/proto_r4_mbisect.py: the mirror
 # side's sublane reductions are VPU-bound), i.e. a ~1.9x per-byte rate
 # penalty.  END-TO-END the expanded plan also pays gather + launch on
 # ~45% more streamed bytes, and the round-4 head-to-head on the BASELINE
-# symmetric population (benchmarks/proto_r4_decide.py m2) measured fused
+# symmetric population (benchmarks/archive/proto_r4_decide.py m2) measured fused
 # 28.9/27.3 us (dep/piped) vs expanded 31.1/27.7 -- fused wins.  The
 # flip point for that population sits at a modeled penalty of ~1.45;
 # 1.4 keeps fused there while still letting expansion win when it

@@ -1,7 +1,7 @@
 """Panel layout v2: SEG-parametric K-merged canvases with greedy covers.
 
 Round-4 evolution of core/panel.py, driven by measurement
-(benchmarks/proto_r4_{dissect,bound,bisect,mbisect}.py):
+(benchmarks/archive/proto_r4_{dissect,bound,bisect,mbisect}.py):
 
 * **Greedy 0-aligned segment covers.**  Any column index list is covered
   by a greedy sweep of SEG-wide windows on the natural grid of
@@ -376,11 +376,11 @@ def panel2_plan_from_layout(layout: BlockLayout, *, transpose: bool = False,
                       mirror=False, TS_max=TS_max)
 
 
-# Measured v2 rates (benchmarks/proto_r4_mbisect.py on config2's plan):
+# Measured v2 rates (benchmarks/archive/proto_r4_mbisect.py on config2's plan):
 # the paired mirror kernel runs at ~0.49 of wire vs ~0.93 plain (sublane
 # reductions).  As for v1, the END-TO-END flip point vs the expanded
 # plan sits near 1.45 (expansion pays overhead on its extra bytes --
-# benchmarks/proto_r4_decide.py m2), so the modeled penalty stays 1.4.
+# benchmarks/archive/proto_r4_decide.py m2), so the modeled penalty stays 1.4.
 _MIRROR_RATE_PENALTY2 = 1.4
 
 

@@ -285,7 +285,7 @@ def _xla_engine(dev_buckets, host_buckets, out_len, x, *, transpose, conj,
     # minimal-op composition over the chunked buckets (round 4): one
     # shared gather, per-bucket einsums, ONE one-hot scatter dot -- the
     # per-bucket loop serializes ~3 ops per bucket in a dependent chain
-    # (bench config1 dep 7.1 -> 6.1 us, benchmarks/proto_r4_dep3.py).
+    # (bench config1 dep 7.1 -> 6.1 us, benchmarks/archive/proto_r4_dep3.py).
     multi_pos: list[int] = []
     if not symmetric and os.environ.get("BST_MULTI", "auto") != "never":
         by_chunk: dict[int, list[int]] = {}

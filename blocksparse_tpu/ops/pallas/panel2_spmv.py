@@ -15,7 +15,7 @@ x is gathered OUTSIDE the kernel, but v2's pinned single-grid covers make
 that one plain row gather over ``x.reshape(-1, seg)`` -- v1's four
 shifted grids cost 3 rolls + a concat on top.
 
-Design history (benchmarks/proto_r4_{bound,bisect,mbisect}.py, all
+Design history (benchmarks/archive/proto_r4_{bound,bisect,mbisect}.py, all
 measured on the chip and REJECTED -- the shipped kernels keep v1's
 per-tile HIGHEST-precision contraction math:
   - MXU offload of the mirrored contraction: 2x worse (f32-exact matmul

@@ -184,12 +184,19 @@ def _launch(dev, x, *, meta, interpret):
         )(b8, xs, x8, vals, rid8, cid8)
         y = y8.reshape(-1)[:nrows]
         # mirror map-back: panel segments -> rows of y.reshape(-1, 32),
-        # one one-hot MXU matmul (overlaps sum; no scatter anywhere)
+        # one one-hot MXU matmul (overlaps sum; no scatter anywhere).
+        # Round 5: shifted mirror grids emit one plane per grid; grid g's
+        # plane lands at y indices offset by +g (pad-left, no wraparound).
         ym32 = ym.reshape(S * CW * NSEG, SEG)
         y32 = jnp.dot(omap.astype(jnp.float32).T, ym32,
                       preferred_element_type=jnp.float32,
-                      precision=HI)                 # [NC32, 32]
-        return (y + y32.reshape(-1)[:nrows]).astype(x.dtype)
+                      precision=HI)                 # [NG*NC32, 32]
+        for gi, g in enumerate(grids):
+            plane = y32[gi * NC32:(gi + 1) * NC32].reshape(-1)
+            if g:
+                plane = jnp.pad(plane, (g, 0))
+            y = y + plane[:nrows]
+        return y.astype(x.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(S,),
@@ -245,7 +252,11 @@ def _xla_forward(dev, x, meta):
         ym = jnp.einsum("stc,stk->sck", C, yt, precision=HI)
         ym32 = ym.reshape(S * CW * NSEG, SEG)
         y32 = jnp.dot(omap.astype(jnp.float32).T, ym32, precision=HI)
-        y = y + y32.reshape(-1)[:nrows]
+        for gi, g in enumerate(grids):
+            plane = y32[gi * NC32:(gi + 1) * NC32].reshape(-1)
+            if g:
+                plane = jnp.pad(plane, (g, 0))
+            y = y + plane[:nrows]
     return y.astype(x.dtype)
 
 

@@ -2,7 +2,7 @@
 (SEG-parametric pinned covers, core/panel2.py) via BST_PANEL_IMPL=v2.
 
 v2 was built and measured head-to-head in round 4
-(benchmarks/proto_r4_panel2.py): its smaller-SEG plans cut value padding
+(benchmarks/archive/proto_r4_panel2.py): its smaller-SEG plans cut value padding
 (config3 1.37 -> 1.29, configS 2.19 -> 2.07) but the finer x row gather
 costs more than the padding saves -- TPU serializes ops, so the gather
 is paid per product even when products are pipelined.  v1's shifted

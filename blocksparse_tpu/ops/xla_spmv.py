@@ -426,7 +426,7 @@ def chunked_multi_apply(
 
     The per-bucket loop (chunked_bucket_apply x3 on bench config1) costs
     ~9 serialized ops = 7.1 us on a 4.0-us-roofline product; this
-    composition measures 6.1 us dep (benchmarks/proto_r4_dep3.py variant
+    composition measures 6.1 us dep (benchmarks/archive/proto_r4_dep3.py variant
     B).  The one-hot scatter is exact: 0/1 one-hots against float values
     at HIGHEST reproduce the addends bit-for-bit, and replaces the
     per-bucket scatter-adds with a single MXU matmul.
