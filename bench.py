@@ -273,36 +273,32 @@ def main():
         f"{100*frac_dep:.1f}%"
     )
 
-    print(
-        json.dumps(
-            {
-                "metric": "block_spmv_4096_200x64x64_f32_roofline_fraction",
-                "value": round(frac_pip, 4),
-                "unit": "fraction_of_hbm_roofline",
-                "vs_baseline": round(frac_pip / TARGET_FRACTION, 4),
-                "mode": f"throughput ({PIPE} independent products on DISTINCT"
-                        " same-structure operands; round-4 honest mode --"
-                        " see bench.py docstring)",
-                "latency_fraction": round(frac_dep, 4),
-                "legacy_shared_operand_fraction": round(legacy_frac, 4),
-                "methodology_note": "value uses round-4 honest piped mode"
-                " (distinct operands); rounds 1-3 used the shared-operand"
-                " mode whose number is inflated by XLA value-read merging"
-                " -- legacy_shared_operand_fraction is that mode, for"
-                " cross-round continuity",
-                "spread_us": {
-                    "throughput_per_product": {
-                        k: round(v * 1e6, 2) for k, v in pip.items()
-                        if k != "n"
-                    },
-                    "dependent_chain": {
-                        k: round(v * 1e6, 2) for k, v in dep.items()
-                        if k != "n"
-                    },
-                },
-            }
-        )
-    )
+    headline = {
+        "metric": "block_spmv_4096_200x64x64_f32_roofline_fraction",
+        "value": round(frac_pip, 4),
+        "unit": "fraction_of_hbm_roofline",
+        "vs_baseline": round(frac_pip / TARGET_FRACTION, 4),
+        "mode": f"throughput ({PIPE} independent products on DISTINCT"
+                " same-structure operands; round-4 honest mode --"
+                " see bench.py docstring)",
+        "latency_fraction": round(frac_dep, 4),
+        "legacy_shared_operand_fraction": round(legacy_frac, 4),
+        "methodology_note": "value uses round-4 honest piped mode"
+        " (distinct operands); rounds 1-3 used the shared-operand"
+        " mode whose number is inflated by XLA value-read merging"
+        " -- legacy_shared_operand_fraction is that mode, for"
+        " cross-round continuity",
+        "spread_us": {
+            "throughput_per_product": {
+                k: round(v * 1e6, 2) for k, v in pip.items()
+                if k != "n"
+            },
+            "dependent_chain": {
+                k: round(v * 1e6, 2) for k, v in dep.items()
+                if k != "n"
+            },
+        },
+    }
 
     # -- config 4: SpMM on config-1 matrix ----------------------------------
     try:
@@ -357,8 +353,17 @@ def main():
             f"{spread_us(dtl)} = {100*roof4/dtl['median']:.1f}%, "
             f"{2*nnz*r4/dtl['median']/1e12:.2f} TFLOP/s "
             f"(default is the even-step auto plan)")
+        # round 5: spmm fractions ride in the headline JSON so the per-round
+        # record captures the dependent-chain (Krylov) result directly
+        headline["spmm_dep_fraction"] = round(roof4 / dtm["median"], 4)
+        headline["spmm_piped_fraction"] = round(roof4 / ptm["median"], 4)
+        headline["spmm_note"] = (
+            "config4 SpMM r=128 at precision=highest, round-5 even-step"
+            " auto plan, no env vars (dep chain benefits from XLA keeping"
+            " the reused operand VMEM-resident -- the Krylov pattern)")
     except Exception as e:
         log(f"# config4 failed: {e}")
+    print(json.dumps(headline))
 
     # All secondary configs report the LOGICAL roofline as the primary
     # number (VERDICT r2 weak #1 / next-step #1): logical bytes = unpadded

@@ -319,3 +319,50 @@ def test_autotune_stores_report_off_tpu():
         [np.arange(8)], [np.arange(8)], (16, 16))
     with _pytest.raises(RuntimeError):
         autotune_backend(A)
+
+
+def test_even_step_auto_plan():
+    """auto/latency plans pick an EVEN grid-step count (measured DMA
+    double-buffer parity, benchmarks/proto_r5_spmm2.py); throughput
+    restores the padded-bytes search."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import bench  # repo-root fixture builders
+
+    A = bench.build_config1()
+    for opt in (None, "auto", "latency"):
+        p = build_patch_plan(A._layout, optimize=opt)
+        b = p.buckets[0]
+        steps = b.nb // b.G
+        assert steps % 2 == 0 and steps <= 8, (opt, steps)
+        assert b.G % 8 == 0
+    pt = build_patch_plan(A._layout, optimize="throughput")
+    bt = pt.buckets[0]
+    # the throughput search minimizes padded bytes: no even-step constraint
+    assert bt.nb >= bt.G
+
+
+def test_autotune_optimize_guards():
+    """autotune_optimize refuses non-square operators and non-TPU backends
+    with actionable errors."""
+    import blocksparse_tpu as bst
+
+    from blocksparse_tpu.utils.autotune import autotune_optimize
+    from blocksparse_tpu.utils.testmatrices import random_block_sparse
+
+    blocks, rows, cols, shape = random_block_sparse(
+        83, shape=(96, 128), nblocks=4, max_block=16, dtype=np.float32,
+        contiguous=True,
+    )
+    R = bst.BlockSparseMatrix(blocks, rows, cols, shape)
+    with pytest.raises(ValueError, match="square"):
+        autotune_optimize(R)
+    blocks, rows, cols, shape = random_block_sparse(
+        84, shape=(128, 128), nblocks=4, max_block=16, dtype=np.float32,
+        contiguous=True,
+    )
+    S = bst.BlockSparseMatrix(blocks, rows, cols, shape)
+    with pytest.raises(RuntimeError, match="TPU"):
+        autotune_optimize(S)  # CPU test backend

@@ -103,3 +103,23 @@ def test_save_wrapper_rejected(tmp_path):
     A = bst.BlockSparseMatrix(blocks, rows, cols, shape)
     with pytest.raises(TypeError):
         bst.save(tmp_path / "t.npz", A.T)
+
+
+def test_roundtrip_optimize(tmp_path):
+    """The optimize= plan bias is operator data (round 5) and round-trips;
+    load-time override wins (like the other settings)."""
+    blocks, rows, cols, shape = random_block_sparse(
+        81, shape=(256, 256), nblocks=6, max_block=32, dtype=np.float32,
+        contiguous=True,
+    )
+    A = bst.BlockSparseMatrix(blocks, rows, cols, shape, optimize="latency")
+    p = tmp_path / "opt.npz"
+    bst.save(p, A)
+    B = bst.load(p)
+    assert B._optimize == "latency"
+    C = bst.load(p, optimize="throughput")
+    assert C._optimize == "throughput"
+    # default (None) also survives
+    D0 = bst.BlockSparseMatrix(blocks, rows, cols, shape)
+    bst.save(p, D0)
+    assert bst.load(p)._optimize is None
