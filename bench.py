@@ -361,6 +361,19 @@ def main():
             "config4 SpMM r=128 at precision=highest, round-5 even-step"
             " auto plan, no env vars (dep chain benefits from XLA keeping"
             " the reused operand VMEM-resident -- the Krylov pattern)")
+        # batched multi-operand API (round 5): the same PIPE independent
+        # products through ONE launch -- per-product staging overlaps
+        btm = chained_time_per_iter(
+            lambda Xc: bst.batched_mm(As, Xc) * 1e-3,
+            jnp.asarray(rng.standard_normal(
+                (PIPE, n, r4)).astype(np.float32)),
+            iters_lo=3, iters_hi=10, repeats=7, reduce="stats",
+        )
+        bt = btm["median"] / PIPE
+        log(f"# config4 batched_mm (P={PIPE}, one launch): "
+            f"{bt*1e6:.1f} us/product = {100*roof4/bt:.1f}% of roofline, "
+            f"{2*nnz*r4/bt/1e12:.2f} TFLOP/s")
+        headline["spmm_batched_fraction"] = round(roof4 / bt, 4)
     except Exception as e:
         log(f"# config4 failed: {e}")
     print(json.dumps(headline))
