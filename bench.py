@@ -403,6 +403,18 @@ def main():
             f" | dep {dts['median']*1e6:.1f} us {spread_us(dts)} = "
             f"{100*roof2/dts['median']:.1f}%"
         )
+        # batched multi-operand route (round 5): same PIPE products,
+        # one launch, one gather chain
+        from blocksparse_tpu.utils.timing import chained_time_per_iter
+
+        xb2 = jnp.asarray(np.random.default_rng(21).standard_normal(
+            (PIPE, S.shape[0])).astype(np.float32))
+        bts = chained_time_per_iter(
+            lambda xc: bst.batched_mv(Ss, xc) * 1e-3, xb2,
+            iters_lo=3, iters_hi=12, repeats=5, reduce="stats")
+        bt2 = bts["median"] / PIPE
+        log(f"# config2 batched_mv (P={PIPE}): {bt2*1e6:.1f} us/product = "
+            f"{100*roof2/bt2:.1f}% of LOGICAL roofline")
     except Exception as e:
         log(f"# config2 failed: {e}")
 
@@ -425,6 +437,16 @@ def main():
             f" | dep {dtv['median']*1e6:.1f} us {spread_us(dtv)} = "
             f"{100*roof3/dtv['median']:.1f}%"
         )
+        from blocksparse_tpu.utils.timing import chained_time_per_iter
+
+        xb3 = jnp.asarray(np.random.default_rng(31).standard_normal(
+            (PIPE, V.shape[1])).astype(np.float32))
+        btv = chained_time_per_iter(
+            lambda xc: bst.batched_mv(Vs, xc) * 1e-3, xb3,
+            iters_lo=3, iters_hi=12, repeats=5, reduce="stats")
+        bt3 = btv["median"] / PIPE
+        log(f"# config3 batched_mv (P={PIPE}): {bt3*1e6:.1f} us/product = "
+            f"{100*roof3/bt3:.1f}% of LOGICAL roofline")
     except Exception as e:
         log(f"# config3 failed: {e}")
 

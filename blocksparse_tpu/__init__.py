@@ -57,7 +57,7 @@ from .interop.scipy_io import (
 )
 from .interop.bcoo import from_bcoo, to_bcoo
 from .interop.serialize import load, save
-from .ops.batched import batched_mm
+from .ops.batched import batched_mm, batched_mv
 from .interop.viz import blocksummary, show, spy
 from .precond import DiagonalOperator, block_jacobi, jacobi
 from .solvers import SolveInfo, bicgstab, cg, gmres
@@ -66,6 +66,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "batched_mm",
+    "batched_mv",
     "as_linear_operator",
     # formats (export parity: src/BlockSparseMatrices.jl:26-28)
     "BlockSparseMatrix",

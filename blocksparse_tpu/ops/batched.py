@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.patch import CC, PatchPlan
 from .patch_engine import R_SLICE, _rows_c, _rows_r, _slot_dot
 
-__all__ = ["batched_mm"]
+__all__ = ["batched_mm", "batched_mv"]
 
 
 def _kern_batched(cc_ref, rs_ref, x_ref, v_ref, y_ref, *, G, KC_, MP, prec):
@@ -169,6 +169,96 @@ def _stacked_entry(ops):
     while len(_STACK_CACHE) > _STACK_CACHE_MAX:
         _STACK_CACHE.popitem(last=False)
     return result
+
+
+def _same_panel_structure(plans) -> bool:
+    p0 = plans[0]
+    for p in plans[1:]:
+        if (p.S, p.TS, p.CW, p.RW, p.n8p, p.NC32, p.mirror,
+                tuple(p.grids_used)) != (
+                p0.S, p0.TS, p0.CW, p0.RW, p0.n8p, p0.NC32, p0.mirror,
+                tuple(p0.grids_used)):
+            return False
+        if not (np.array_equal(p.segid, p0.segid)
+                and np.array_equal(p.rid8, p0.rid8)
+                and np.array_equal(p.cid8, p0.cid8)
+                and np.array_equal(p.b8, p0.b8)):
+            return False
+    return True
+
+
+def _stacked_panel_entry(ops):
+    key = ("mv",) + tuple(id(op) for op in ops)
+    hit = _STACK_CACHE.get(key)
+    if hit is not None:
+        _STACK_CACHE.move_to_end(key)
+        return hit[1]
+    entries = []
+    for op in ops:
+        fn = getattr(op, "_panel_for", None)
+        entries.append(None if fn is None else fn(False))
+    if any(e is None for e in entries):
+        result = None
+    else:
+        plans = [e[0] for e in entries]
+        if not _same_panel_structure(plans):
+            result = None
+        else:
+            plan = plans[0]
+            vals_b = jnp.stack([e[1][0] for e in entries])
+            d0 = entries[0][1]
+            shared = (d0[1], d0[2], d0[3], d0[4], d0[5])
+            result = (plan, shared, vals_b)
+    _STACK_CACHE[key] = (tuple(ops), result)
+    while len(_STACK_CACHE) > _STACK_CACHE_MAX:
+        _STACK_CACHE.popitem(last=False)
+    return result
+
+
+def batched_mv(ops, xs):
+    """``[ops[p] @ xs[p] for p]`` in one panel-kernel launch where possible.
+
+    ``ops``: same-structure f32 operators (equal panel index structure;
+    values may differ -- e.g. one BEM near-field structure across
+    frequencies).  ``xs``: [P, n] array or list of [n].  Returns [P, m].
+    One x-gather chain and one grid-(P, S) launch serve all P products
+    (measured config2 symmetric 25.6 -> 22.6 us/product, config3 VBCRS
+    20.5 -> 19.4; benchmarks/proto_r5_batchpanel.py).  Falls back to a
+    per-operator loop when ineligible.  Differentiable in ``xs`` and
+    each operator's panel values.
+
+    (The general-format XLA chain was measured NOT to profit from
+    batching -- config1 5.9 vs 5.3 us/product -- so operators routed to
+    the bucket engines just loop.)
+    """
+    ops = list(ops)
+    if isinstance(xs, (list, tuple)):
+        xs = jnp.stack([jnp.asarray(x) for x in xs])
+    P = len(ops)
+    if xs.shape[0] != P:
+        raise ValueError(
+            f"batched_mv: {P} operators but xs has leading dim "
+            f"{xs.shape[0]}")
+    if xs.ndim != 2:
+        raise ValueError("batched_mv expects xs of shape [P, n]")
+    interpret = any(getattr(op, "_backend", "") == "pallas-interpret"
+                    for op in ops)
+    eligible = (
+        P >= 2
+        and xs.dtype == jnp.float32
+        and all(type(op) is type(ops[0]) for op in ops)
+        and all(jnp.dtype(op.dtype) == jnp.float32 for op in ops)
+        and all(getattr(op, "_backend", "xla") != "xla" for op in ops)
+        and (interpret or jax.default_backend() == "tpu")
+    )
+    entry = _stacked_panel_entry(ops) if eligible else None
+    if entry is None:
+        return jnp.stack([op @ xs[p] for p, op in enumerate(ops)])
+    plan, shared, vals_b = entry
+    from .pallas.panel_spmv import panel_apply_batched
+
+    return panel_apply_batched(plan, shared, vals_b, xs,
+                               interpret=interpret)
 
 
 def batched_mm(ops, Xs, *, precision=None):

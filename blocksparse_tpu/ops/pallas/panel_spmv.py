@@ -289,3 +289,181 @@ def panel_apply(plan: PanelPlan, dev, x, *, interpret: bool = False):
     meta = (plan.S, plan.TS, plan.CW, plan.RW, plan.n8p, plan.nrows,
             plan.ncols, plan.NC32, plan.mirror, tuple(plan.grids_used))
     return _panel_vjp(dev, x, meta, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Batched multi-operand SpMV (round 5): P same-structure products in ONE
+# launch with grid (P, S).  One x-gather op chain serves all P products and
+# the block pipeline prefetches product p+1's slabs during product p's
+# compute -- the per-product op floors (~3 us of pad/roll/gather +
+# launch) amortize over P (measured config2 25.6 -> 22.6 us/product,
+# config3 20.5 -> 19.4; benchmarks/proto_r5_batchpanel.py).  Value
+# streams stay distinct per product.
+# ---------------------------------------------------------------------------
+
+
+def _pkern_plain_b(b8_ref, xs_ref, vals_ref, rid_ref, cid_ref, y8_ref,
+                   *, RW, CW):
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _():
+        y8_ref[:] = jnp.zeros_like(y8_ref)
+
+    V = vals_ref[0]
+    R, CT = _onehots(rid_ref[0], cid_ref[0], RW, CW)
+    base = b8_ref[s]
+    xg = _dg0(CT, xs_ref[0, 0])
+    yf = jnp.sum(V * xg[:, None, :], axis=2)
+    y8_ref[0, pl.ds(base, RW), :] += jnp.dot(
+        R, yf, preferred_element_type=jnp.float32, precision=HI)
+
+
+def _pkern_mirror_b(b8_ref, xs_ref, x8_ref, vals_ref, rid_ref, cid_ref,
+                    y8_ref, ym_ref, *, RW, CW):
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _():
+        y8_ref[:] = jnp.zeros_like(y8_ref)
+
+    V = vals_ref[0]
+    R, CT = _onehots(rid_ref[0], cid_ref[0], RW, CW)
+    base = b8_ref[s]
+    xg = _dg0(CT, xs_ref[0, 0])
+    yf = jnp.sum(V * xg[:, None, :], axis=2)
+    y8_ref[0, pl.ds(base, RW), :] += jnp.dot(
+        R, yf, preferred_element_type=jnp.float32, precision=HI)
+    xw = x8_ref[0, pl.ds(base, RW), :]
+    xr = _dg0(R, xw)
+    yt = jnp.sum(V * xr[:, :, None], axis=1)
+    ym_ref[0, 0] = jnp.dot(CT, yt, preferred_element_type=jnp.float32,
+                           precision=HI)
+
+
+def _gather_xs_batched(xb, segid, P, S, CW, NC32, ncols, grids_used):
+    """[P, n] -> [P, S, CW, CC]: one op chain for all P products."""
+    pad = NC32 * SEG - ncols
+    xp = jnp.pad(xb, ((0, 0), (0, pad))) if pad else xb
+    planes = [jnp.roll(xp, -g, axis=1).reshape(P, NC32, SEG) if g else
+              xp.reshape(P, NC32, SEG) for g in grids_used]
+    x32 = jnp.concatenate(planes + [jnp.zeros((P, 1, SEG), jnp.float32)],
+                          axis=1)
+    return x32[:, segid.reshape(-1)].reshape(P, S, CW, CC)
+
+
+def _launch_batched(shared, vals_b, xb, *, meta, interpret):
+    """meta as in _launch plus leading P; shared = (rid8, cid8, segid,
+    b8, omap) from the structure-defining plan."""
+    (P, S, TS, CW, RW, n8p, nrows, ncols, NC32, mirror, grids) = meta
+    rid8, cid8, segid, b8, omap = shared
+    xf = xb.astype(jnp.float32)
+    xs = _gather_xs_batched(xf, segid, P, S, CW, NC32, ncols, grids)
+    params = dict(
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * vals_b.size * (2 if mirror else 1),
+            bytes_accessed=vals_b.size * 4 + xs.size * 4
+            + P * n8p * RC * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )
+    if mirror:
+        x8pad = n8p * RC - nrows
+        x8 = (jnp.pad(xf, ((0, 0), (0, x8pad))) if x8pad else xf
+              ).reshape(P, n8p, RC)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(P, S),
+            in_specs=[
+                pl.BlockSpec((1, 1, CW, CC), lambda p, s, b: (p, s, 0, 0)),
+                pl.BlockSpec((1, n8p, RC), lambda p, s, b: (p, 0, 0)),
+                pl.BlockSpec((1, TS, RC, CC),
+                             lambda p, s, b: (p, s, 0, 0)),
+                pl.BlockSpec((1, 1, TS), lambda p, s, b: (s, 0, 0)),
+                pl.BlockSpec((1, 1, TS), lambda p, s, b: (s, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, n8p, RC), lambda p, s, b: (p, 0, 0)),
+                pl.BlockSpec((1, 1, CW, CC),
+                             lambda p, s, b: (p, s, 0, 0)),
+            ],
+        )
+        y8, ym = pl.pallas_call(
+            functools.partial(_pkern_mirror_b, RW=RW, CW=CW),
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((P, n8p, RC), jnp.float32),
+                       jax.ShapeDtypeStruct((P, S, CW, CC), jnp.float32)],
+            **params,
+        )(b8, xs, x8, vals_b, rid8, cid8)
+        y = y8.reshape(P, -1)[:, :nrows]
+        ym32 = ym.reshape(P, S * CW * NSEG, SEG)
+        y32 = jnp.einsum("rc,prk->pck", omap.astype(jnp.float32), ym32,
+                         precision=HI)
+        for gi, g in enumerate(grids):
+            plane = y32[:, gi * NC32:(gi + 1) * NC32].reshape(P, -1)
+            if g:
+                plane = jnp.pad(plane, ((0, 0), (g, 0)))
+            y = y + plane[:, :nrows]
+        return y.astype(xb.dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(P, S),
+        in_specs=[
+            pl.BlockSpec((1, 1, CW, CC), lambda p, s, b: (p, s, 0, 0)),
+            pl.BlockSpec((1, TS, RC, CC), lambda p, s, b: (p, s, 0, 0)),
+            pl.BlockSpec((1, 1, TS), lambda p, s, b: (s, 0, 0)),
+            pl.BlockSpec((1, 1, TS), lambda p, s, b: (s, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, n8p, RC), lambda p, s, b: (p, 0, 0)),
+    )
+    y8 = pl.pallas_call(
+        functools.partial(_pkern_plain_b, RW=RW, CW=CW),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((P, n8p, RC), jnp.float32),
+        **params,
+    )(b8, xs, vals_b, rid8, cid8)
+    return y8.reshape(P, -1)[:, :nrows].astype(xb.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _panel_batched_vjp(packed, xb, meta, interpret):
+    shared, vals_b = packed
+    return _launch_batched(shared, vals_b, xb, meta=meta,
+                           interpret=interpret)
+
+
+def _panel_batched_fwd(packed, xb, meta, interpret):
+    return _panel_batched_vjp(packed, xb, meta, interpret), (packed, xb)
+
+
+def _panel_batched_bwd(meta, interpret, res, g):
+    (shared, vals_b), xb = res
+    rid8, cid8, segid, b8, omap = shared
+    P = meta[0]
+    meta1 = meta[1:]
+    dvals, dx = [], []
+    for p in range(P):
+        dev_p = (vals_b[p], rid8, cid8, segid, b8, omap)
+        _, pull = jax.vjp(
+            lambda v, xx, dev_p=dev_p: _xla_forward(
+                (v,) + dev_p[1:], xx, meta1), dev_p[0], xb[p])
+        dv, dxp = pull(g[p])
+        dvals.append(dv)
+        dx.append(dxp)
+    zero = lambda a: (None if a is None
+                      else np.zeros(a.shape, dtype=jax.dtypes.float0))
+    dshared = tuple(zero(a) for a in shared)
+    return ((dshared, jnp.stack(dvals).astype(vals_b.dtype)),
+            jnp.stack(dx).astype(xb.dtype))
+
+
+_panel_batched_vjp.defvjp(_panel_batched_fwd, _panel_batched_bwd)
+
+
+def panel_apply_batched(plan: PanelPlan, shared, vals_b, xb, *,
+                        interpret: bool = False):
+    """P same-structure products in one launch; xb: [P, n]."""
+    P = int(xb.shape[0])
+    meta = (P, plan.S, plan.TS, plan.CW, plan.RW, plan.n8p, plan.nrows,
+            plan.ncols, plan.NC32, plan.mirror, tuple(plan.grids_used))
+    return _panel_batched_vjp((shared, vals_b), xb, meta, interpret)

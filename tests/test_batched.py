@@ -106,3 +106,97 @@ def test_guards(ops, rng):
         bst.batched_mm(ops, rng.standard_normal((2, 512, 8)).astype(np.float32))
     with pytest.raises(ValueError, match="P, n, r"):
         bst.batched_mm(ops, rng.standard_normal((3, 512)).astype(np.float32))
+
+
+# ---------------------------------------------------------------------------
+# batched_mv (panel-engine SpMV)
+# ---------------------------------------------------------------------------
+
+
+def build_sym(seed, backend="pallas-interpret"):
+    from blocksparse_tpu.utils.testmatrices import random_symmetric
+
+    d, di, o, ri, ci, shape = random_symmetric(
+        9, n=640, ngroups=10, noffdiag=14, dtype=np.float32,
+        contiguous=True,
+    )
+    vr = np.random.default_rng(seed)
+    d = [vr.standard_normal(b.shape).astype(np.float32) for b in d]
+    o = [vr.standard_normal(b.shape).astype(np.float32) for b in o]
+    return bst.SymmetricBlockMatrix(d, di, o, ri, ci, shape,
+                                    backend=backend)
+
+
+def test_batched_mv_symmetric(rng):
+    ops = [build_sym(s) for s in (1, 2, 3)]
+    xs = rng.standard_normal((3, ops[0].shape[1])).astype(np.float32)
+    out = bst.batched_mv(ops, xs)
+    assert out.shape == (3, ops[0].shape[0])
+    for p, op in enumerate(ops):
+        assert relerr(out[p], bst.to_scipy(op) @ xs[p]) < TOL
+
+
+def test_batched_mv_general(rng):
+    ops = [build(s) for s in (4, 5)]
+    xs = [rng.standard_normal(512).astype(np.float32) for _ in range(2)]
+    out = bst.batched_mv(ops, xs)
+    for p, op in enumerate(ops):
+        assert relerr(out[p], bst.to_scipy(op) @ xs[p]) < TOL
+
+
+def test_batched_mv_grad(rng):
+    ops = [build_sym(s) for s in (1, 2)]
+    xs = jnp.asarray(
+        rng.standard_normal((2, ops[0].shape[1])).astype(np.float32))
+
+    def f(xs):
+        return jnp.sum(bst.batched_mv(ops, xs) ** 2)
+
+    g = jax.grad(f)(xs)
+    for p, op in enumerate(ops):
+        S = bst.to_scipy(op)
+        ref = 2 * (S.T @ (S @ np.asarray(xs[p])))
+        assert relerr(g[p], ref) < 5e-4
+
+
+def test_batched_mv_fallback_mixed(rng):
+    """Different structures -> per-operator loop, identical results."""
+    a = build_sym(1)
+    from blocksparse_tpu.utils.testmatrices import random_symmetric
+
+    d, di, o, ri, ci, shape = random_symmetric(
+        10, n=640, ngroups=11, noffdiag=12, dtype=np.float32,
+        contiguous=True,
+    )
+    b = bst.SymmetricBlockMatrix(d, di, o, ri, ci, shape,
+                                 backend="pallas-interpret")
+    xs = rng.standard_normal((2, 640)).astype(np.float32)
+    out = bst.batched_mv([a, b], xs)
+    assert relerr(out[0], bst.to_scipy(a) @ xs[0]) < TOL
+    assert relerr(out[1], bst.to_scipy(b) @ xs[1]) < TOL
+
+
+def test_batched_mv_fused_mirror(rng):
+    """The fused (one-read mirror) batched kernel path: a population where
+    the cost model picks mirror=True."""
+    from blocksparse_tpu.ops.batched import _stacked_panel_entry
+    from blocksparse_tpu.utils.testmatrices import random_symmetric
+
+    def mk(seed):
+        d, di, o, ri, ci, shape = random_symmetric(
+            8, n=1024, ngroups=12, noffdiag=40, dtype=np.float32,
+            contiguous=True,
+        )
+        vr = np.random.default_rng(seed)
+        d = [vr.standard_normal(b.shape).astype(np.float32) for b in d]
+        o = [vr.standard_normal(b.shape).astype(np.float32) for b in o]
+        return bst.SymmetricBlockMatrix(d, di, o, ri, ci, shape,
+                                        backend="pallas-interpret")
+
+    ops = [mk(s) for s in (1, 2)]
+    entry = _stacked_panel_entry(ops)
+    assert entry is not None and entry[0].mirror   # really the fused path
+    xs = rng.standard_normal((2, 1024)).astype(np.float32)
+    out = bst.batched_mv(ops, xs)
+    for p, op in enumerate(ops):
+        assert relerr(out[p], bst.to_scipy(op) @ xs[p]) < TOL
