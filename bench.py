@@ -468,6 +468,17 @@ def main():
             f"LOGICAL roofline | dep {dsc['median']*1e6:.1f} us "
             f"{spread_us(dsc)} = {100*(s_bytes/dsc['median'])/bw:.1f}%"
         )
+        from blocksparse_tpu.utils.timing import chained_time_per_iter
+
+        xbS = jnp.asarray(np.random.default_rng(41).standard_normal(
+            (PIPE, Asc.shape[1])).astype(np.float32))
+        btS = chained_time_per_iter(
+            lambda xc: bst.batched_mv(Ascs, xc) * 1e-3, xbS,
+            iters_lo=3, iters_hi=10, repeats=5, reduce="stats")
+        btSv = btS["median"] / PIPE
+        roofS = s_bytes / bw
+        log(f"# configS batched_mv (P={PIPE}): {btSv*1e6:.1f} us/product = "
+            f"{100*roofS/btSv:.1f}% of LOGICAL roofline")
     except Exception as e:
         log(f"# configS failed: {e}")
 

@@ -165,3 +165,34 @@ def test_bf16_on_chip(contiguous_bsm):
     oracle = bst.to_scipy(
         contiguous_bsm(backend="xla")) @ x
     assert relerr(np.asarray(A @ x, np.float32), oracle) < 0.05
+
+
+def test_batched_products_on_chip(contiguous_bsm):
+    """Round-5 batched multi-operand APIs on the real chip: one launch for
+    P same-structure products (batched_mm via the patch mono-kernel,
+    batched_mv via the panel kernel) vs per-operator products."""
+    import blocksparse_tpu as bst
+
+    rng = np.random.default_rng(17)
+    ops = [contiguous_bsm()]
+    # distinct-value same-structure copies
+    base = ops[0]
+    for seed in (1, 2):
+        vr = np.random.default_rng(seed)
+        blocks = [vr.standard_normal(base.block(i).shape).astype(np.float32)
+                  for i in range(base.nblocks)]
+        ops.append(bst.BlockSparseMatrix(
+            blocks,
+            [base.blockrowindices(i) for i in range(base.nblocks)],
+            [base.blockcolindices(i) for i in range(base.nblocks)],
+            base.shape,
+        ))
+    n = base.shape[1]
+    Xs = rng.standard_normal((3, n, 32)).astype(np.float32)
+    out = np.asarray(bst.batched_mm(ops, Xs))
+    for p, op in enumerate(ops):
+        assert relerr(out[p], np.asarray(op @ Xs[p])) < TOL
+    xs = rng.standard_normal((3, n)).astype(np.float32)
+    outv = np.asarray(bst.batched_mv(ops, xs))
+    for p, op in enumerate(ops):
+        assert relerr(outv[p], np.asarray(op @ xs[p])) < TOL
