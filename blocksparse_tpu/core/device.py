@@ -27,7 +27,42 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["stage_buckets", "complex_stays_on_host"]
+__all__ = ["stage_buckets", "complex_stays_on_host", "trace_clean",
+           "plan_cache_entry"]
+
+
+def trace_clean() -> bool:
+    """True outside any jit trace.  Device arrays built INSIDE a trace are
+    trace-local tracers (omnistaging); caching one across traces raises
+    UnexpectedTracerError on the next jit."""
+    try:
+        return jax.core.trace_state_clean()
+    except AttributeError:  # pragma: no cover - older jax
+        return False
+
+
+def plan_cache_entry(cache: dict, key, build_plan, build_dev):
+    """(plan, device_leaves) for a lazy per-instance plan cache, or None.
+
+    The host-side PLAN (numpy) caches unconditionally; the DEVICE leaves
+    cache only when built outside a jit trace -- inside a trace they are
+    rebuilt per trace (cheap: jnp.asarray of host arrays, deduplicated by
+    the jit constant pool).  This is what makes ``jit(lambda x: A @ x)``
+    safe as an operator's FIRST product (previously the traced device
+    leaves leaked into later traces)."""
+    ent = cache.get(key)
+    if ent is None:
+        plan = build_plan()
+        ent = {"plan": plan, "dev": None}
+        cache[key] = ent
+    if ent["plan"] is None:
+        return None
+    if ent["dev"] is not None:
+        return (ent["plan"], ent["dev"])
+    dev = build_dev(ent["plan"])
+    if trace_clean():
+        ent["dev"] = dev
+    return (ent["plan"], dev)
 
 
 def complex_stays_on_host(dtype) -> bool:

@@ -163,19 +163,18 @@ class BlockSparseMatrix(LinearOperator):
 
         Cached per instance; rebuilt after tree_unflatten (host-side work
         only happens once per live object)."""
+        from ..core.device import plan_cache_entry
+        from ..core.strip import plan_from_layout
+        from ..ops.pallas.slab_spmv import plan_device_arrays
+
         cache = getattr(self, "_strip_cache", None)
         if cache is None:
             cache = {}
             self._strip_cache = cache
-        key = "T" if transpose else "N"
-        if key not in cache:
-            from ..core.strip import plan_from_layout
-            from ..ops.pallas.slab_spmv import plan_device_arrays
-
-            plan = plan_from_layout(self._layout, transpose=transpose)
-            cache[key] = None if plan is None else (plan,
-                                                    plan_device_arrays(plan))
-        return cache[key]
+        return plan_cache_entry(
+            cache, "T" if transpose else "N",
+            lambda: plan_from_layout(self._layout, transpose=transpose),
+            plan_device_arrays)
 
     def _panel_for(self, transpose: bool):
         """Lazy K-merged panel plan (+ device leaves); None if ineligible.
@@ -184,30 +183,34 @@ class BlockSparseMatrix(LinearOperator):
         the slab plan: columns are pre-gathered outside the kernel, so
         scattered col lists cost nothing and padded/logical stays ~1.2-1.35
         where the slab plan dilutes 2.3-2.9x (VERDICT r2 #1)."""
+        from ..core.device import plan_cache_entry
+        from ..ops.panel_router import panel_arrays, panel_plan_general
+
         cache = getattr(self, "_panel_cache", None)
         if cache is None:
             cache = {}
             self._panel_cache = cache
-        key = "T" if transpose else "N"
-        if key not in cache:
-            from ..ops.panel_router import panel_arrays, panel_plan_general
-
-            plan = panel_plan_general(self._layout, transpose=transpose)
-            cache[key] = None if plan is None else (plan, panel_arrays(plan))
-        return cache[key]
+        return plan_cache_entry(
+            cache, "T" if transpose else "N",
+            lambda: panel_plan_general(self._layout, transpose=transpose),
+            panel_arrays)
 
     def _patch_for(self):
         """Lazy merged-patch plan (+ device leaves); None if ineligible
         (non-contiguous lists or non-f32).  Transpose products reuse the
         same plan with gather/scatter roles swapped inside the engine."""
-        if not hasattr(self, "_patch_cache"):
-            from ..core.patch import build_patch_plan
-            from ..ops.patch_engine import patch_device_arrays
+        from ..core.device import plan_cache_entry
+        from ..core.patch import build_patch_plan
+        from ..ops.patch_engine import patch_device_arrays
 
-            plan = build_patch_plan(self._layout, optimize=self._optimize)
-            self._patch_cache = (
-                None if plan is None else (plan, patch_device_arrays(plan)))
-        return self._patch_cache
+        cache = getattr(self, "_patch_cache", None)
+        if cache is None or not isinstance(cache, dict):
+            cache = {}
+            self._patch_cache = cache
+        return plan_cache_entry(
+            cache, "N",
+            lambda: build_patch_plan(self._layout, optimize=self._optimize),
+            patch_device_arrays)
 
     def _apply(self, x, transpose: bool, conj: bool):
         split = self._complex_split_route()

@@ -194,59 +194,57 @@ class SymmetricBlockMatrix(LinearOperator):
         tiles in ONE stream -> one kernel launch computes S = D + O + O^T
         with each stored off-diagonal read once (the fused pass the
         reference lacks, symmetricblockmatrix.jl:394-418)."""
+        from ..core.device import plan_cache_entry
+        from ..core.strip import plan_symmetric
+        from ..ops.pallas.slab_spmv import plan_device_arrays
+
         cache = getattr(self, "_strip_cache", None)
         if cache is None:
             cache = {}
             self._strip_cache = cache
-        key = "T" if transpose else "N"
-        if key not in cache:
-            from ..core.strip import plan_symmetric
-            from ..ops.pallas.slab_spmv import plan_device_arrays
-
-            plan = plan_symmetric(self._dlayout, self._olayout,
-                                  transpose_diag=transpose)
-            cache[key] = None if plan is None else (plan,
-                                                    plan_device_arrays(plan))
-        return cache[key]
+        return plan_cache_entry(
+            cache, "T" if transpose else "N",
+            lambda: plan_symmetric(self._dlayout, self._olayout,
+                                   transpose_diag=transpose),
+            plan_device_arrays)
 
     def _panel_for(self, transpose: bool):
         """Lazy fused symmetric panel plan (core/panel.py): diag + off-diag
         K-merged per row group, one kernel launch for S = D + O + O^T with
         each stored off-diagonal read once and padded/logical ~1.3 (the
         slab plan dilutes ~2.4x on BEM-like group sizes)."""
+        from ..core.device import plan_cache_entry
+        from ..ops.panel_router import panel_arrays, panel_plan_sym
+
         cache = getattr(self, "_panel_cache", None)
         if cache is None:
             cache = {}
             self._panel_cache = cache
-        key = "T" if transpose else "N"
-        if key not in cache:
-            from ..ops.panel_router import panel_arrays, panel_plan_sym
-
-            plan = panel_plan_sym(self._dlayout, self._olayout,
-                                  transpose_diag=transpose)
-            cache[key] = None if plan is None else (plan, panel_arrays(plan))
-        return cache[key]
+        return plan_cache_entry(
+            cache, "T" if transpose else "N",
+            lambda: panel_plan_sym(self._dlayout, self._olayout,
+                                   transpose_diag=transpose),
+            panel_arrays)
 
     def _patch_for(self, transpose: bool):
         """Lazy merged-patch plan: diag + off-diag in ONE plan whose
         off-diagonal chunks are mirror-counted (the fused one-read
         S = D + O + O^T pass).  S^T embeds D^T; the off-diagonal pair is
         transpose-invariant (symmetricblockmatrix.jl:341-365)."""
+        from ..core.device import plan_cache_entry
+        from ..core.patch import build_patch_plan
+        from ..ops.patch_engine import patch_device_arrays
+
         cache = getattr(self, "_patch_cache", None)
         if cache is None:
             cache = {}
             self._patch_cache = cache
-        key = "T" if transpose else "N"
-        if key not in cache:
-            from ..core.patch import build_patch_plan
-            from ..ops.patch_engine import patch_device_arrays
-
-            plan = build_patch_plan(self._dlayout, extra_layout=self._olayout,
-                                    transpose_main=transpose,
-                                    optimize=self._optimize)
-            cache[key] = None if plan is None else (plan,
-                                                    patch_device_arrays(plan))
-        return cache[key]
+        return plan_cache_entry(
+            cache, "T" if transpose else "N",
+            lambda: build_patch_plan(
+                self._dlayout, extra_layout=self._olayout,
+                transpose_main=transpose, optimize=self._optimize),
+            patch_device_arrays)
 
     def _apply(self, x, transpose: bool, conj: bool):
         split = self._complex_split_route()

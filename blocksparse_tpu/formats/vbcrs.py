@@ -244,47 +244,50 @@ class VariableBlockCompressedRowStorage(LinearOperator):
     def _strip_for(self, transpose: bool):
         """Lazy slab plan (see BlockSparseMatrix._strip_for); VBCRS ranges
         are contiguous by construction, so eligibility is the dtype only."""
+        from ..core.device import plan_cache_entry
+        from ..core.strip import plan_from_layout
+        from ..ops.pallas.slab_spmv import plan_device_arrays
+
         cache = getattr(self, "_strip_cache", None)
         if cache is None:
             cache = {}
             self._strip_cache = cache
-        key = "T" if transpose else "N"
-        if key not in cache:
-            from ..core.strip import plan_from_layout
-            from ..ops.pallas.slab_spmv import plan_device_arrays
-
-            plan = plan_from_layout(self._layout, transpose=transpose)
-            cache[key] = None if plan is None else (plan,
-                                                    plan_device_arrays(plan))
-        return cache[key]
+        return plan_cache_entry(
+            cache, "T" if transpose else "N",
+            lambda: plan_from_layout(self._layout, transpose=transpose),
+            plan_device_arrays)
 
     def _panel_for(self, transpose: bool):
         """Lazy K-merged panel plan (see BlockSparseMatrix._panel_for);
         every block row K-merges into one dense panel, the natural panel
         population (padded/logical ~1.2 vs the slab plan's ~2.6)."""
+        from ..core.device import plan_cache_entry
+        from ..ops.panel_router import panel_arrays, panel_plan_general
+
         cache = getattr(self, "_panel_cache", None)
         if cache is None:
             cache = {}
             self._panel_cache = cache
-        key = "T" if transpose else "N"
-        if key not in cache:
-            from ..ops.panel_router import panel_arrays, panel_plan_general
-
-            plan = panel_plan_general(self._layout, transpose=transpose)
-            cache[key] = None if plan is None else (plan, panel_arrays(plan))
-        return cache[key]
+        return plan_cache_entry(
+            cache, "T" if transpose else "N",
+            lambda: panel_plan_general(self._layout, transpose=transpose),
+            panel_arrays)
 
     def _patch_for(self):
         """Lazy merged-patch plan (VBCRS ranges are contiguous by
         construction, so only the dtype gates eligibility)."""
-        if not hasattr(self, "_patch_cache"):
-            from ..core.patch import build_patch_plan
-            from ..ops.patch_engine import patch_device_arrays
+        from ..core.device import plan_cache_entry
+        from ..core.patch import build_patch_plan
+        from ..ops.patch_engine import patch_device_arrays
 
-            plan = build_patch_plan(self._layout, optimize=self._optimize)
-            self._patch_cache = (
-                None if plan is None else (plan, patch_device_arrays(plan)))
-        return self._patch_cache
+        cache = getattr(self, "_patch_cache", None)
+        if cache is None or not isinstance(cache, dict):
+            cache = {}
+            self._patch_cache = cache
+        return plan_cache_entry(
+            cache, "N",
+            lambda: build_patch_plan(self._layout, optimize=self._optimize),
+            patch_device_arrays)
 
     def _apply(self, x, transpose: bool, conj: bool):
         split = self._complex_split_route()

@@ -126,9 +126,26 @@ _batched_vjp.defvjp(_batched_fwd, _batched_bwd)
 
 # stacked-values cache: keyed by operator identities; entries hold strong
 # refs so ids cannot be reused while alive (same pattern as
-# xla_spmv._MULTI_HOST_CACHE)
+# xla_spmv._MULTI_HOST_CACHE).  NEVER populated from inside a jit trace:
+# jnp values created while tracing are trace-local tracers, and caching
+# one leaks it into later traces (the _multi_host_tables lesson).
 _STACK_CACHE: "OrderedDict" = OrderedDict()
 _STACK_CACHE_MAX = 8
+
+
+def _trace_clean() -> bool:
+    try:
+        return jax.core.trace_state_clean()
+    except AttributeError:  # pragma: no cover - older jax
+        return False
+
+
+def _cache_put(key, ops, result):
+    if not _trace_clean():
+        return
+    _STACK_CACHE[key] = (tuple(ops), result)
+    while len(_STACK_CACHE) > _STACK_CACHE_MAX:
+        _STACK_CACHE.popitem(last=False)
 
 
 def _same_structure(plans) -> bool:
@@ -165,9 +182,7 @@ def _stacked_entry(ops):
             cc = entries[0][1][0][4]
             rs = entries[0][1][0][5]
             result = (plans[0], vals_stack, cc, rs)
-    _STACK_CACHE[key] = (tuple(ops), result)
-    while len(_STACK_CACHE) > _STACK_CACHE_MAX:
-        _STACK_CACHE.popitem(last=False)
+    _cache_put(key, ops, result)
     return result
 
 
@@ -209,9 +224,7 @@ def _stacked_panel_entry(ops):
             d0 = entries[0][1]
             shared = (d0[1], d0[2], d0[3], d0[4], d0[5])
             result = (plan, shared, vals_b)
-    _STACK_CACHE[key] = (tuple(ops), result)
-    while len(_STACK_CACHE) > _STACK_CACHE_MAX:
-        _STACK_CACHE.popitem(last=False)
+    _cache_put(key, ops, result)
     return result
 
 

@@ -200,3 +200,26 @@ def test_batched_mv_fused_mirror(rng):
     out = bst.batched_mv(ops, xs)
     for p, op in enumerate(ops):
         assert relerr(out[p], bst.to_scipy(op) @ xs[p]) < TOL
+
+
+def test_jit_first_no_tracer_leak(rng):
+    """An operator/batch whose FIRST product happens inside a jit trace
+    must not leak trace-local device arrays into later traces (the
+    plan_cache_entry contract, core/device.py)."""
+    ops = [build(s) for s in (6, 7)]
+    Xs = jnp.asarray(rng.standard_normal((2, 512, 8)).astype(np.float32))
+    o1 = jax.jit(lambda X: bst.batched_mm(ops, X))(Xs)
+    o2 = jax.jit(lambda X: bst.batched_mm(ops, X) * 2.0)(Xs)   # 2nd trace
+    o3 = bst.batched_mm(ops, Xs)                               # eager
+    for p, op in enumerate(ops):
+        ref = bst.to_scipy(op) @ np.asarray(Xs[p])
+        assert relerr(o1[p], ref) < TOL
+        assert relerr(o2[p], 2 * ref) < TOL
+        assert relerr(o3[p], ref) < TOL
+    # regular operator: first product under jit, then a second trace
+    A = build(8)
+    x = jnp.asarray(rng.standard_normal(512).astype(np.float32))
+    r1 = jax.jit(lambda v: A @ v)(x)
+    r2 = jax.jit(lambda v: (A @ v) * 3.0)(x)
+    ref = bst.to_scipy(A) @ np.asarray(x)
+    assert relerr(r1, ref) < TOL and relerr(r2, 3 * ref) < TOL
