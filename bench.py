@@ -478,7 +478,8 @@ def main():
         btSv = btS["median"] / PIPE
         roofS = s_bytes / bw
         log(f"# configS batched_mv (P={PIPE}): {btSv*1e6:.1f} us/product = "
-            f"{100*roofS/btSv:.1f}% of LOGICAL roofline")
+            f"{100*roofS/btSv:.1f}% of LOGICAL roofline "
+            f"(large plans are gated to the per-operator loop)")
     except Exception as e:
         log(f"# configS failed: {e}")
 

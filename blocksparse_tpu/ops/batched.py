@@ -202,6 +202,14 @@ def _same_panel_structure(plans) -> bool:
     return True
 
 
+# Per-product value-stream cap for the batched panel route: at configS
+# scale (57.8 MB/product) the grid-(P, S) kernel degrades ~2.7x instead
+# of helping (measured 255-263 us/product vs 93 serial -- large slabs +
+# the P dimension defeat the block pipeline); config2/3-scale plans
+# (~11 MB) are where the launch/gather amortization wins.
+_BATCHED_PANEL_TILE_CAP = 24 << 20
+
+
 def _stacked_panel_entry(ops):
     key = ("mv",) + tuple(id(op) for op in ops)
     hit = _STACK_CACHE.get(key)
@@ -216,7 +224,8 @@ def _stacked_panel_entry(ops):
         result = None
     else:
         plans = [e[0] for e in entries]
-        if not _same_panel_structure(plans):
+        if (plans[0].tile_bytes > _BATCHED_PANEL_TILE_CAP
+                or not _same_panel_structure(plans)):
             result = None
         else:
             plan = plans[0]

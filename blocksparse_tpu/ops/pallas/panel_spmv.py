@@ -341,15 +341,26 @@ def _pkern_mirror_b(b8_ref, xs_ref, x8_ref, vals_ref, rid_ref, cid_ref,
                            precision=HI)
 
 
+# Above this source-row count XLA lowers the batched advanced-index
+# gather x32[:, segid] to a slow path (measured configS, NC32=512 NG=3:
+# 263 us/product vs 93 serial); per-product gathers of the same index
+# set stay on the fast row-gather path (8.7 us each on configS).
+_BATCHED_GATHER_ROWS = 1536
+
+
 def _gather_xs_batched(xb, segid, P, S, CW, NC32, ncols, grids_used):
-    """[P, n] -> [P, S, CW, CC]: one op chain for all P products."""
+    """[P, n] -> [P, S, CW, CC]; one op chain for all P products when the
+    batched gather stays on XLA's fast path, else per-product gathers."""
     pad = NC32 * SEG - ncols
     xp = jnp.pad(xb, ((0, 0), (0, pad))) if pad else xb
     planes = [jnp.roll(xp, -g, axis=1).reshape(P, NC32, SEG) if g else
               xp.reshape(P, NC32, SEG) for g in grids_used]
     x32 = jnp.concatenate(planes + [jnp.zeros((P, 1, SEG), jnp.float32)],
                           axis=1)
-    return x32[:, segid.reshape(-1)].reshape(P, S, CW, CC)
+    if x32.shape[1] <= _BATCHED_GATHER_ROWS:
+        return x32[:, segid.reshape(-1)].reshape(P, S, CW, CC)
+    idx = segid.reshape(-1)
+    return jnp.stack([x32[p][idx] for p in range(P)]).reshape(P, S, CW, CC)
 
 
 def _launch_batched(shared, vals_b, xb, *, meta, interpret):
