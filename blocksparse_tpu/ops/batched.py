@@ -18,9 +18,12 @@ over BEM systems with one near-field structure).
 Eligibility: every operator carries the same index STRUCTURE (equal patch
 chunk/row tables -- value contents may differ), f32, plain forward
 products.  Ineligible inputs fall back to a per-operator loop with
-identical semantics.  (The SpMV analog was measured and does NOT pay:
-batching the minimal-op XLA chain runs 5.9 vs 5.3 us/product serial --
-the chain's ops are already amortized; SpMV batching stays a loop.)
+identical semantics.  (Batching the minimal-op XLA SpMV chain was
+measured NOT to pay in either formulation: 5.9 us/product with a batched
+gather, 6.2 with per-product gathers + batched einsums, vs 5.3 serial --
+benchmarks/proto_r5_batched.py, proto_r5_batched2.py; general-format
+SpMV batching stays a loop.  Panel-engine SpMV does profit -- see
+batched_mv.)
 """
 
 from __future__ import annotations
